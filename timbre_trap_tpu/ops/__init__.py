@@ -1,0 +1,3 @@
+from . import fft
+
+__all__ = ["fft"]

@@ -1,0 +1,220 @@
+"""Host-side construction of the invertible sliCQ (NSGT) transform plan.
+
+This is a from-scratch, TPU-first design of the invertible constant-Q
+transform used by the reference framework (reference: the external
+``cqt_pytorch`` package pinned by ``timbre_trap/framework/cqtwrapper.py:31-35``
+and the sliCQ paper, arXiv 1210.0084). Nothing here is a translation of that
+package — the construction below is derived directly from painless
+nonstationary-Gabor-frame (NSGT) theory and is engineered so that both
+analysis and synthesis lower onto TPU-friendly primitives:
+
+* one real FFT per audio block,
+* a static gather + elementwise window multiply (precomputed index maps),
+* a batch of small fixed-length inverse FFTs (one per CQT bin),
+* and, for synthesis, TWO static gathers instead of a scatter-add
+  (every spectrum bin is covered by at most two adjacent CQT windows),
+  which avoids TPU-hostile scatter ops entirely.
+
+Window design
+-------------
+Center frequencies are geometrically spaced over ``n_octaves`` octaves below
+Nyquist (reference semantics: ``cqtwrapper.py:43-48``). For neighboring
+center positions ``p_{k-1} < p_k < p_{k+1}`` (in DFT-bin units of the block),
+bin ``k`` rises as ``sin(pi/2 * t)`` over ``[p_{k-1}, p_k]`` and falls as
+``cos(pi/2 * t)`` over ``[p_k, p_{k+1}]``. The lowest window plateaus at 1
+down to DC and the highest plateaus up to Nyquist. Consequently
+
+    sum_k w_k(f)^2 == 1   for every frequency f in [0, Nyquist],
+
+i.e. the frame operator is exactly the identity, the canonical dual window
+equals the analysis window, and encode->decode is EXACT up to float rounding
+(the reference's transform is only approximately invertible).
+
+All bins share a common coefficient length ``max_window_length`` (the sliCQ
+"matrix" form) so the output is a dense rectangular (F, T) array — required
+by the downstream 2D-conv model and ideal for TPU tiling.
+"""
+
+from dataclasses import dataclass, field
+
+import math
+import numpy as np
+
+__all__ = ["SlicqPlan", "design_slicq", "hz_to_midi", "midi_to_hz"]
+
+
+def hz_to_midi(frequencies):
+    """Convert frequency in Hz to (fractional) MIDI note number."""
+    return 12.0 * (np.log2(np.asarray(frequencies, dtype=np.float64)) - np.log2(440.0)) + 69.0
+
+
+def midi_to_hz(notes):
+    """Convert (fractional) MIDI note number to frequency in Hz."""
+    return 440.0 * (2.0 ** ((np.asarray(notes, dtype=np.float64) - 69.0) / 12.0))
+
+
+def _next_power_of_2(x: int) -> int:
+    return 1 << max(0, int(math.ceil(math.log2(max(1, x)))))
+
+
+@dataclass(frozen=True)
+class SlicqPlan:
+    """Static arrays + scalars fully describing one sliCQ configuration.
+
+    All arrays are host numpy; they are uploaded once as device constants by
+    the JAX transform functions. Shapes: F = n_bins, M = max_window_length,
+    R = block_length // 2 + 1 (rfft size).
+    """
+
+    sample_rate: float
+    n_octaves: int
+    bins_per_octave: int
+    block_length: int
+    n_bins: int
+    max_window_length: int
+    n_rfft: int
+    # Analysis: coefficients[k, m] gathers spectrum bin gather_idx[k, m]
+    # weighted by gather_win[k, m] (zero where there is no support).
+    gather_idx: np.ndarray = field(repr=False)  # (F, M) int32
+    gather_win: np.ndarray = field(repr=False)  # (F, M) float32
+    # Synthesis: spectrum[f] = sum_{s in 0,1} Z.flat[scatter_idx[s, f]] * scatter_dual[s, f]
+    # where Z is the (F, M) forward FFT of the coefficients.
+    scatter_idx: np.ndarray = field(repr=False)  # (2, R) int32 into flattened (F*M)
+    scatter_dual: np.ndarray = field(repr=False)  # (2, R) float32
+    # Bookkeeping
+    center_freqs_hz: np.ndarray = field(repr=False)  # (F,) float64
+    midi_freqs: np.ndarray = field(repr=False)  # (F,) float64
+    scale: float = 1.0  # coefficient scale so O(1) audio -> O(1) coefficients
+
+    @property
+    def hop_length(self) -> float:
+        # Fractional hop in samples between successive coefficient frames
+        # (reference semantics: cqtwrapper.py:40).
+        return self.block_length / self.max_window_length
+
+
+def design_slicq(sample_rate, n_octaves, bins_per_octave, block_length,
+                 power_of_2_length=True):
+    """Construct the static gather/window/dual arrays for one configuration.
+
+    Parameters mirror the reference ctor (``cqtwrapper.py:31-35``):
+    ``block_length = int(secs_per_block * sample_rate)``.
+    """
+    n_bins = n_octaves * bins_per_octave
+    nyquist = sample_rate / 2.0
+    half = block_length // 2  # highest rfft bin index (block_length is even in practice)
+    if block_length % 2 != 0:
+        raise ValueError("block_length must be even")
+    n_rfft = half + 1
+
+    # Geometric center frequencies over n_octaves below Nyquist
+    # (reference semantics: cqtwrapper.py:45-48).
+    fmin = nyquist / (2.0 ** n_octaves)
+    center_freqs = fmin * 2.0 ** (np.arange(n_bins, dtype=np.float64) / bins_per_octave)
+    midi_freqs = hz_to_midi(fmin) + np.arange(n_bins, dtype=np.float64) / (bins_per_octave / 12.0)
+
+    # Center positions in (fractional) DFT bins of the block spectrum.
+    pos = center_freqs * block_length / sample_rate  # strictly < half
+    # Window node points: DC below the lowest bin, Nyquist above the highest.
+    nodes = np.concatenate(([0.0], pos, [float(half)]))
+
+    # Integer support of each window: [lo_k, hi_k] inclusive.
+    lo = np.ceil(nodes[:-2]).astype(np.int64)
+    hi = np.floor(nodes[2:]).astype(np.int64)
+    lo[0] = 0
+    hi[-1] = half
+    support = np.maximum(hi - lo + 1, 0)
+
+    max_support = int(support.max())
+    if power_of_2_length:
+        max_window_length = _next_power_of_2(max_support)
+    else:
+        max_window_length = max_support
+    M = max_window_length
+
+    def window_value(k, f):
+        """Analysis window of bin k evaluated at (integer) frequencies f."""
+        f = np.asarray(f, dtype=np.float64)
+        left, center, right = nodes[k], nodes[k + 1], nodes[k + 2]
+        w = np.zeros_like(f)
+        if k == 0:
+            # Plateau down to DC for full coverage.
+            rise = f <= center
+            w[rise] = 1.0
+        else:
+            rise = (f >= left) & (f <= center)
+            denom = max(center - left, np.finfo(np.float64).tiny)
+            w[rise] = np.sin(0.5 * np.pi * (f[rise] - left) / denom)
+        if k == n_bins - 1:
+            # Plateau up to Nyquist for full coverage.
+            fall = f > center
+            w[fall] = 1.0
+        else:
+            fall = (f > center) & (f <= right)
+            denom = max(right - center, np.finfo(np.float64).tiny)
+            w[fall] = np.cos(0.5 * np.pi * (f[fall] - center) / denom)
+        return w
+
+    # --- Analysis gather tables -------------------------------------------
+    gather_idx = np.zeros((n_bins, M), dtype=np.int64)
+    gather_win = np.zeros((n_bins, M), dtype=np.float64)
+    # --- Synthesis tables: per spectrum bin, up to 2 contributing windows --
+    contrib_idx = [[] for _ in range(n_rfft)]
+    contrib_dual = [[] for _ in range(n_rfft)]
+
+    for k in range(n_bins):
+        if support[k] <= 0:
+            continue
+        f = np.arange(lo[k], hi[k] + 1)
+        w = window_value(k, f)
+        m = np.mod(f, M)  # alias position inside the length-M coefficient FFT
+        gather_idx[k, m] = f
+        gather_win[k, m] = w
+        nz = w > 0.0
+        for fi, mi, wi in zip(f[nz], m[nz], w[nz]):
+            contrib_idx[fi].append(k * M + mi)
+            contrib_dual[fi].append(wi)  # dual == analysis window (S == 1)
+
+    # Verify the partition-of-unity frame condition on the integer grid.
+    S = np.zeros(n_rfft)
+    for fi in range(n_rfft):
+        S[fi] = float(np.sum(np.square(contrib_dual[fi])))
+    if not np.allclose(S, 1.0, atol=1e-10):
+        raise AssertionError(
+            f"frame operator not identity: S in [{S.min()}, {S.max()}]")
+
+    max_contrib = max(len(c) for c in contrib_idx)
+    if max_contrib > 2:
+        raise AssertionError(
+            f"more than two windows overlap one spectrum bin ({max_contrib})")
+
+    scatter_idx = np.zeros((2, n_rfft), dtype=np.int64)
+    scatter_dual = np.zeros((2, n_rfft), dtype=np.float64)
+    for fi in range(n_rfft):
+        for s, (ci, cd) in enumerate(zip(contrib_idx[fi], contrib_dual[fi])):
+            scatter_idx[s, fi] = ci
+            scatter_dual[s, fi] = cd
+
+    # Coefficient scaling: a unit-amplitude sinusoid at a bin center produces
+    # |rfft| = block_length / 2 at that bin; after the length-M inverse FFT the
+    # peak coefficient magnitude is (block_length / 2) / M. Scale by 2M/L so a
+    # full-scale sinusoid yields coefficients of magnitude ~1 — keeps the
+    # autoencoder's regression targets O(1).
+    scale = 2.0 * M / block_length
+
+    return SlicqPlan(
+        sample_rate=float(sample_rate),
+        n_octaves=int(n_octaves),
+        bins_per_octave=int(bins_per_octave),
+        block_length=int(block_length),
+        n_bins=int(n_bins),
+        max_window_length=int(M),
+        n_rfft=int(n_rfft),
+        gather_idx=gather_idx.astype(np.int32),
+        gather_win=gather_win.astype(np.float32),
+        scatter_idx=scatter_idx.astype(np.int32),
+        scatter_dual=scatter_dual.astype(np.float32),
+        center_freqs_hz=center_freqs,
+        midi_freqs=midi_freqs,
+        scale=float(scale),
+    )

@@ -1,0 +1,75 @@
+"""JAX/XLA execution of the sliCQ plan (analysis + exact synthesis).
+
+The hot path per 3-second block is:
+
+    analysis:  rfft(L) -> static gather (F, M) -> window multiply -> ifft(M) batch
+    synthesis: fft(M) batch -> two static gathers (R,) -> irfft(L)
+
+Everything is static-shaped and fuses under ``jax.jit``; the gathers use
+precomputed index maps from :mod:`.design` (reference behavior pinned by
+``timbre_trap/framework/cqtwrapper.py:50-72,184-213``). The synthesis side is
+formulated as two gathers rather than a scatter-add because every spectrum
+bin is covered by at most two CQT windows — scatter ops serialize badly on
+TPU while gathers vectorize.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fft as mfft
+
+__all__ = ["build_slicq_fns"]
+
+
+def build_slicq_fns(plan):
+    """Return (encode, decode) pure functions closed over device constants.
+
+    encode: real (B, C, T) -> complex64 (B, C, F, T // L * M)
+    decode: complex (B, C, F, T_frames) -> real (B, C, T_frames // M * L)
+
+    ``T`` must be a multiple of ``plan.block_length`` (callers pad first —
+    reference: ``cqtwrapper.py:215-233``).
+    """
+    gather_idx = jnp.asarray(plan.gather_idx)      # (F, M) int32
+    gather_win = jnp.asarray(plan.gather_win)      # (F, M) float32
+    scatter_idx = jnp.asarray(plan.scatter_idx)    # (2, R) int32
+    scatter_dual = jnp.asarray(plan.scatter_dual)  # (2, R) float32
+    L = plan.block_length
+    M = plan.max_window_length
+    F = plan.n_bins
+    scale = jnp.float32(plan.scale)
+    inv_scale = jnp.float32(1.0 / plan.scale)
+
+    def encode(audio):
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        B, C, T = audio.shape
+        if T % L != 0:
+            raise ValueError(f"audio length {T} not a multiple of block length {L}")
+        nb = T // L
+        x = audio.reshape(B, C, nb, L)
+        X = mfft.rfft(x, axis=-1)                                   # (B,C,nb,R)
+        Z = jnp.take(X, gather_idx, axis=-1) * gather_win              # (B,C,nb,F,M)
+        coeffs = mfft.ifft(Z, axis=-1) * scale                      # (B,C,nb,F,M)
+        coeffs = jnp.moveaxis(coeffs, -3, -2)                          # (B,C,F,nb,M)
+        return coeffs.reshape(B, C, F, nb * M)
+
+    def decode(coefficients):
+        coefficients = jnp.asarray(coefficients)
+        if not jnp.issubdtype(coefficients.dtype, jnp.complexfloating):
+            raise ValueError("decode expects complex coefficients")
+        B, C, Fc, Tf = coefficients.shape
+        if Fc != F:
+            raise ValueError(f"expected {F} bins, got {Fc}")
+        if Tf % M != 0:
+            raise ValueError(f"{Tf} frames not a multiple of window length {M}")
+        nb = Tf // M
+        c = coefficients.reshape(B, C, F, nb, M)
+        c = jnp.moveaxis(c, -2, -3)                                    # (B,C,nb,F,M)
+        Z = mfft.fft(c, axis=-1) * inv_scale
+        Zf = Z.reshape(B, C, nb, F * M)
+        X = (jnp.take(Zf, scatter_idx[0], axis=-1) * scatter_dual[0]
+             + jnp.take(Zf, scatter_idx[1], axis=-1) * scatter_dual[1])  # (B,C,nb,R)
+        x = mfft.irfft(X, n=L, axis=-1)                             # (B,C,nb,L)
+        return x.reshape(B, C, nb * L).astype(jnp.float32)
+
+    return encode, decode

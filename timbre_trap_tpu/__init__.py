@@ -13,3 +13,13 @@ __version__ = "0.1.0"
 from . import transform
 
 __all__ = ["transform", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy submodule access to keep `import timbre_trap_tpu` light.
+    if name in ("models", "objectives", "ops", "data", "train", "eval",
+                "parallel", "utils", "interop"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

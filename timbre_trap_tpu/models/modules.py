@@ -1,0 +1,270 @@
+"""Flax (linen) network modules for the Timbre-Trap autoencoder.
+
+Re-designed NHWC-native for TPU: activations are laid out (B, F, T, C) so the
+channel axis sits on the 128-wide lane dimension and convs map onto the MXU.
+The architecture geometry matches the reference exactly (2D conv autoencoder
+with frequency-only up/down-sampling and a decoder switch), with reference
+citations per block:
+
+* ``ResidualConv2dBlock`` — ``timbre_trap/framework/modules.py:721-777``
+* ``EncoderBlock``        — ``modules.py:597-655``
+* ``DecoderBlock``        — ``modules.py:658-718``
+* ``Encoder``             — ``modules.py:396-483``
+* ``Decoder``             — ``modules.py:486-594``
+* ``FiLM``                — ``modules.py:842-889``
+* decoder-switch channel  — ``modules.py:119-147``
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.conv import ConvTranspose2dTorch
+
+__all__ = [
+    "ResidualConv2dBlock",
+    "EncoderBlock",
+    "DecoderBlock",
+    "Encoder",
+    "Decoder",
+    "FiLM",
+    "TimbreTrapNet",
+]
+
+
+def _channel_widths(model_complexity):
+    """Filter counts per level (reference modules.py:417-424)."""
+    scale = 2 ** (model_complexity - 1)
+    return tuple(round(c * scale) for c in (2, 4, 8, 16, 32))
+
+
+def default_latent_size(model_complexity):
+    """Default latent dimensionality (reference modules.py:426-428)."""
+    return 32 * 2 ** (model_complexity - 1)
+
+
+def embedding_sizes(feature_size):
+    """Frequency sizes after each of the 4 stride-2 stages, plus padding parity.
+
+    Returns (sizes, paddings): sizes[i] is the frequency extent after stage i;
+    paddings is the reversed parity chain the decoder needs
+    (reference modules.py:440-446, 520-531).
+    """
+    sizes, paddings = [], []
+    size = feature_size
+    for _ in range(4):
+        paddings.append(size % 2)
+        size = size // 2 - 1
+        sizes.append(size)
+    paddings.reverse()
+    return sizes, paddings
+
+
+class ResidualConv2dBlock(nn.Module):
+    """3x3 dilated conv + ELU -> 1x1 conv + ELU -> residual add."""
+
+    channels: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.channels, (3, 3), padding="SAME",
+                    kernel_dilation=(self.dilation, self.dilation), name="conv1")(x)
+        y = nn.elu(y)
+        y = nn.Conv(self.channels, (1, 1), name="conv2")(y)
+        y = nn.elu(y)
+        return y + x
+
+
+class EncoderBlock(nn.Module):
+    """Three residual blocks (dilation 1,2,3) then a frequency-strided conv."""
+
+    out_channels: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        y = ResidualConv2dBlock(in_channels, 1, name="block1")(x)
+        y = ResidualConv2dBlock(in_channels, 2, name="block2")(y)
+        y = ResidualConv2dBlock(in_channels, 3, name="block3")(y)
+        # Down-sample along frequency only: kernel (2s, 1), stride (s, 1), VALID.
+        y = nn.Conv(self.out_channels, (2 * self.stride, 1),
+                    strides=(self.stride, 1), padding="VALID", name="sconv")(y)
+        return nn.elu(y)
+
+
+class DecoderBlock(nn.Module):
+    """Frequency-transposed conv (torch semantics) then residual blocks."""
+
+    out_channels: int
+    stride: int = 2
+    padding: int = 0  # output_padding along frequency
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvTranspose2dTorch(self.out_channels, (2 * self.stride, 1),
+                                 strides=(self.stride, 1),
+                                 output_padding=(self.padding, 0), name="tconv")(x)
+        y = nn.elu(y)
+        y = ResidualConv2dBlock(self.out_channels, 1, name="block1")(y)
+        y = ResidualConv2dBlock(self.out_channels, 2, name="block2")(y)
+        y = ResidualConv2dBlock(self.out_channels, 3, name="block3")(y)
+        return y
+
+
+class Encoder(nn.Module):
+    """Spectral coefficients (B, F, T, C_in) -> latents (B, T, D) + embeddings."""
+
+    feature_size: int
+    latent_size: Optional[int] = None
+    model_complexity: int = 1
+
+    @nn.compact
+    def __call__(self, coefficients):
+        channels = _channel_widths(self.model_complexity)
+        latent = self.latent_size or default_latent_size(self.model_complexity)
+        sizes, _ = embedding_sizes(self.feature_size)
+
+        embeddings = []
+        y = nn.elu(nn.Conv(channels[0], (3, 3), padding="SAME", name="convin")(coefficients))
+        embeddings.append(y)
+        for i in range(4):
+            y = EncoderBlock(channels[i + 1], stride=2, name=f"block{i + 1}")(embeddings[-1])
+            embeddings.append(y)
+
+        # Collapse the remaining frequency extent into the latent dimension.
+        latents = nn.Conv(latent, (sizes[-1], 1), padding="VALID", name="convlat")(embeddings[-1])
+        latents = jnp.squeeze(latents, axis=1)  # (B, T, D)
+        return latents, embeddings
+
+
+class Decoder(nn.Module):
+    """Latents (B, T, D_in) -> spectral logits (B, F, T, C_out)."""
+
+    feature_size: int
+    out_channels: int = 2
+    model_complexity: int = 1
+
+    @nn.compact
+    def __call__(self, latents, encoder_embeddings=None):
+        channels = _channel_widths(self.model_complexity)[::-1]
+        sizes, paddings = embedding_sizes(self.feature_size)
+
+        # Restore the frequency axis: (B, T, D) -> (B, 1, T, D).
+        y = latents[:, None, :, :]
+        y = ConvTranspose2dTorch(channels[0], (sizes[-1], 1), name="convin")(y)
+        y = nn.elu(y)
+        if encoder_embeddings is not None:
+            y = y + encoder_embeddings[-1]
+        for i in range(4):
+            y = DecoderBlock(channels[i + 1], stride=2, padding=paddings[i],
+                             name=f"block{i + 1}")(y)
+            if encoder_embeddings is not None:
+                y = y + encoder_embeddings[-(i + 2)]
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME", name="convout")(y)
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation conditioned on a one-hot switch."""
+
+    embedding_size: int
+    n_conditions: int = 2
+
+    @nn.compact
+    def __call__(self, x, condition):
+        # x: (B, T, D); condition: (n_conditions,)
+        gamma = nn.Dense(self.embedding_size, name="gamma")(condition)
+        beta = nn.Dense(self.embedding_size, name="beta")(condition)
+        return x * gamma + beta
+
+
+class TimbreTrapNet(nn.Module):
+    """The full autoencoder network (transform-free; pure conv stack).
+
+    ``variant`` selects the reference model family:
+      * ``'base'``  — 2-ch real/imag in/out, indicator-channel decoder switch
+      * ``'film'``  — 2-ch in/out, FiLM decoder switch (modules.py:780-839)
+      * ``'mag'``   — 1-ch magnitude in/out, ReLU output (modules.py:892-992)
+      * ``'magdb'`` — 1-ch dB-magnitude in/out, sigmoid output (modules.py:995-1075)
+    """
+
+    feature_size: int
+    latent_size: Optional[int] = None
+    model_complexity: int = 1
+    skip_connections: bool = False
+    variant: str = "base"
+
+    @property
+    def in_channels(self):
+        return 1 if self.variant in ("mag", "magdb") else 2
+
+    @property
+    def resolved_latent_size(self):
+        return self.latent_size or default_latent_size(self.model_complexity)
+
+    def setup(self):
+        if self.variant not in ("base", "film", "mag", "magdb"):
+            raise ValueError(f"unknown variant {self.variant!r}")
+        self.encoder = Encoder(self.feature_size, self.latent_size, self.model_complexity)
+        self.decoder = Decoder(self.feature_size, self.in_channels, self.model_complexity)
+        if self.skip_connections:
+            # Learnable per-level skip weights, initialized to identity
+            # (reference modules.py:61-66).
+            self.skip_weights = self.param(
+                "skip_weights", nn.initializers.ones, (5,), jnp.float32)
+        if self.variant == "film":
+            self.film_layer = FiLM(self.resolved_latent_size)
+
+    def encode(self, coefficients):
+        """(B, F, T, C_in) -> latents (B, T, D), embeddings, losses dict."""
+        latents, embeddings = self.encoder(coefficients)
+        return latents, embeddings, {}
+
+    def apply_skip_connections(self, embeddings):
+        if self.skip_connections:
+            return [self.skip_weights[i] * e for i, e in enumerate(embeddings)]
+        return None
+
+    def decode(self, latents, embeddings=None, transcribe=False):
+        """Latents (B, T, D) -> coefficients (B, F, T, C_out).
+
+        ``transcribe`` must be a static Python bool (it selects the graph).
+        """
+        if self.variant == "film":
+            condition = jnp.asarray(
+                [float(transcribe), float(not transcribe)], dtype=jnp.float32)
+            latents = self.film_layer(latents, condition)
+        else:
+            indicator = jnp.full(
+                latents.shape[:-1] + (1,), float(not transcribe), latents.dtype)
+            latents = jnp.concatenate([latents, indicator], axis=-1)
+        coefficients = self.decoder(latents, embeddings)
+        if self.variant == "mag":
+            coefficients = nn.relu(coefficients)
+        elif self.variant == "magdb":
+            coefficients = nn.sigmoid(coefficients)
+        return coefficients
+
+    def __call__(self, coefficients, consistency=False):
+        """Full training-mode forward on precomputed spectral input.
+
+        Returns (reconstruction, latents, transcription, transcription_rec,
+        transcription_scr, losses) — reference ``modules.py:338-393`` — all
+        in NHWC layout; the transform is applied by the caller, ONCE
+        (the reference recomputes the CQT inside forward; we don't).
+        """
+        latents, embeddings, losses = self.encode(coefficients)
+        embeddings = self.apply_skip_connections(embeddings)
+        reconstruction = self.decode(latents, embeddings)
+        transcription = self.decode(latents, embeddings, True)
+        if consistency:
+            latents_trn, embeddings_trn, _ = self.encode(transcription)
+            embeddings_trn = self.apply_skip_connections(embeddings_trn)
+            transcription_rec = self.decode(latents_trn, embeddings_trn)
+            transcription_scr = self.decode(latents_trn, embeddings_trn, True)
+        else:
+            transcription_rec, transcription_scr = None, None
+        return (reconstruction, latents, transcription,
+                transcription_rec, transcription_scr, losses)

@@ -1,0 +1,227 @@
+"""Public Timbre-Trap model families: transform + network + inference paths.
+
+API parity with the reference ``TimbreTrap`` module
+(``timbre_trap/framework/modules.py:23-393`` and variants :780-1075):
+``encode``, ``decode``, ``inference``, ``chunked_inference``,
+``to_activations``, ``transcribe``, ``reconstruct``, ``forward`` — but
+organized the JAX way: parameters live in an explicit pytree
+(``self.params``), all compute paths are pure jitted functions, and the
+streaming chunked inference is a ``lax.scan`` with on-device Hann
+overlap-add instead of a host loop (reference ``modules.py:204-269``).
+
+Public tensor layouts match the reference (coefficients ``(B, C, F, T)``,
+latents ``(B, D, T)``); internally everything is NHWC for TPU.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..transform import CQT
+from .modules import TimbreTrapNet
+
+__all__ = ["TimbreTrap", "TimbreTrapFiLM", "TimbreTrapMag", "TimbreTrapMagDB"]
+
+
+def _nchw_to_nhwc(x):
+    return jnp.moveaxis(x, -3, -1)
+
+
+def _nhwc_to_nchw(x):
+    return jnp.moveaxis(x, -1, -3)
+
+
+class TimbreTrap:
+    """Base (real/imaginary coefficient) model with indicator-channel switch."""
+
+    variant = "base"
+
+    def __init__(self, sample_rate, n_octaves, bins_per_octave, secs_per_block=3,
+                 latent_size=None, model_complexity=1, skip_connections=False,
+                 seed=0):
+        self.sliCQ = CQT(n_octaves=n_octaves,
+                         bins_per_octave=bins_per_octave,
+                         sample_rate=sample_rate,
+                         secs_per_block=secs_per_block)
+        self.net = TimbreTrapNet(feature_size=self.sliCQ.n_bins,
+                                 latent_size=latent_size,
+                                 model_complexity=model_complexity,
+                                 skip_connections=skip_connections,
+                                 variant=self.variant)
+        dummy = jnp.zeros((1, self.sliCQ.n_bins, 4, self.net.in_channels), jnp.float32)
+        self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+        self._encode_jit = jax.jit(self._encode_fn)
+        self._decode_jit = jax.jit(self._decode_fn, static_argnums=3)
+        self._forward_jit = jax.jit(self._forward_fn, static_argnums=2)
+        self._infer_jit = jax.jit(self._infer_fn, static_argnums=2)
+        self._chunked_jit = jax.jit(self._chunked_fn, static_argnums=2)
+
+    # ------------------------------------------------------------------ #
+    # Feature extraction (variant-dependent)                             #
+    # ------------------------------------------------------------------ #
+
+    def features_from_audio(self, audio):
+        """Audio (B, 1, N) -> network input features, NHWC. Differentiable-free
+        (the reference transform runs under no_grad, cqtwrapper.py:65)."""
+        audio = jax.lax.stop_gradient(jnp.asarray(audio, jnp.float32))
+        coefficients = self.sliCQ.encode_raw(audio)  # complex (B,1,F,T)
+        return self._features_from_complex(coefficients)
+
+    def _features_from_complex(self, coefficients):
+        real = CQT.to_real(coefficients)  # (B,2,F,T)
+        return _nchw_to_nhwc(real)
+
+    # ------------------------------------------------------------------ #
+    # Pure functions (jitted in __init__)                                #
+    # ------------------------------------------------------------------ #
+
+    def _encode_fn(self, params, audio):
+        features = self.features_from_audio(audio)
+        return self.net.apply({"params": params}, features, method="encode")
+
+    def _decode_fn(self, params, latents, embeddings, transcribe):
+        return self.net.apply({"params": params}, latents, embeddings, transcribe,
+                              method="decode")
+
+    def _forward_fn(self, params, audio, consistency):
+        features = self.features_from_audio(audio)
+        return self.net.apply({"params": params}, features, consistency)
+
+    def _infer_fn(self, params, audio, transcribe):
+        """Single full-length pass audio (B,1,N) -> coefficients (B,C,F,T)."""
+        features = self.features_from_audio(audio)
+        latents, embeddings, _ = self.net.apply(
+            {"params": params}, features, method="encode")
+        embeddings = self.net.apply(
+            {"params": params}, embeddings, method="apply_skip_connections")
+        out = self.net.apply({"params": params}, latents, embeddings, transcribe,
+                             method="decode")
+        return _nhwc_to_nchw(out)
+
+    def _chunked_fn(self, params, audio, transcribe):
+        """Streaming 50%-overlap Hann overlap-add as a lax.scan.
+
+        ``audio`` is already padded to a block multiple AND extended by
+        half a block on each side (see chunked_inference).
+        """
+        L = self.sliCQ.block_length
+        M = self.sliCQ.max_window_length
+        F = self.sliCQ.n_bins
+        B = audio.shape[0]
+        C = self.net.in_channels
+        hop = L // 2
+        n_chunks = (audio.shape[-1] - hop) // hop
+        n_frames = self.sliCQ.get_expected_frames(audio.shape[-1])
+        window = jnp.asarray(np.hanning(M), jnp.float32)
+
+        def body(acc, i):
+            chunk = jax.lax.dynamic_slice(audio, (0, 0, i * hop), (B, 1, L))
+            out = self._infer_fn(params, chunk, transcribe)  # (B,C,F,M)
+            start = i * (M // 2)
+            cur = jax.lax.dynamic_slice(acc, (0, 0, 0, start), (B, C, F, M))
+            acc = jax.lax.dynamic_update_slice(acc, cur + window * out,
+                                               (0, 0, 0, start))
+            return acc, None
+
+        acc = jnp.zeros((B, C, F, n_frames), jnp.float32)
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_chunks))
+        # Trim the centering margins (reference modules.py:266-267).
+        return acc[..., M // 2: n_frames - M // 2]
+
+    # ------------------------------------------------------------------ #
+    # Public API (reference layouts)                                     #
+    # ------------------------------------------------------------------ #
+
+    def encode(self, audio):
+        """Audio (B,1,N) -> (latents (B,D,T), embeddings NHWC list, losses)."""
+        latents, embeddings, losses = self._encode_jit(self.params, jnp.asarray(audio))
+        return jnp.swapaxes(latents, -1, -2), embeddings, losses
+
+    def apply_skip_connections(self, embeddings):
+        return self.net.apply({"params": self.params}, embeddings,
+                              method="apply_skip_connections")
+
+    def decode(self, latents, embeddings=None, transcribe=False):
+        """Latents (B,D,T) -> coefficients (B,C,F,T)."""
+        internal = jnp.swapaxes(jnp.asarray(latents), -1, -2)
+        out = self._decode_jit(self.params, internal, embeddings, bool(transcribe))
+        return _nhwc_to_nchw(out)
+
+    def forward(self, audio, consistency=False):
+        """Training-mode forward (reference modules.py:338-393).
+
+        Returns (reconstruction, latents, transcription, transcription_rec,
+        transcription_scr, losses) in reference layouts.
+        """
+        rec, latents, trn, trn_rec, trn_scr, losses = self._forward_jit(
+            self.params, jnp.asarray(audio), bool(consistency))
+        cvt = _nhwc_to_nchw
+        return (cvt(rec), jnp.swapaxes(latents, -1, -2), cvt(trn),
+                None if trn_rec is None else cvt(trn_rec),
+                None if trn_scr is None else cvt(trn_scr), losses)
+
+    __call__ = forward
+
+    def inference(self, audio, transcribe=False):
+        """Full-length single pass (reference modules.py:179-202)."""
+        audio = self.sliCQ.pad_to_block_length(jnp.asarray(audio))
+        return self._infer_jit(self.params, audio, bool(transcribe))
+
+    def chunked_inference(self, audio, transcribe=False):
+        """Arbitrary-length streaming inference (reference modules.py:204-269)."""
+        audio = self.sliCQ.pad_to_block_length(jnp.asarray(audio))
+        hop = self.sliCQ.block_length // 2
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(hop, hop)])
+        return self._chunked_jit(self.params, audio, bool(transcribe))
+
+    def to_activations(self, coefficients):
+        """Transcription coefficients (B,C,F,T) -> activations (B,F,T) in [0,1]."""
+        return jnp.tanh(CQT.to_magnitude(coefficients))
+
+    def transcribe(self, audio):
+        """Audio (B,1,N) -> multi-pitch activations (B,F,T)."""
+        return self.to_activations(self.chunked_inference(audio, True))
+
+    def reconstruct(self, audio_in):
+        """Audio (B,1,N) -> resynthesized audio (B,1,N')."""
+        coefficients = self.chunked_inference(audio_in, False)
+        return self.sliCQ.decode(coefficients)
+
+
+class TimbreTrapFiLM(TimbreTrap):
+    """FiLM-conditioned decoder switch (reference modules.py:780-839)."""
+
+    variant = "film"
+
+
+class TimbreTrapMag(TimbreTrap):
+    """Magnitude-CQT (amplitude) variant (reference modules.py:892-992)."""
+
+    variant = "mag"
+
+    def _features_from_complex(self, coefficients):
+        real = CQT.to_real(coefficients)
+        mag = CQT.to_magnitude(real)  # (B,F,T)
+        return mag[..., None]  # NHWC with C=1
+
+    def to_activations(self, coefficients):
+        return jnp.tanh(jnp.squeeze(coefficients, axis=-3))
+
+
+class TimbreTrapMagDB(TimbreTrapMag):
+    """Magnitude-CQT (rescaled decibels) variant (reference modules.py:995-1075)."""
+
+    variant = "magdb"
+
+    def _features_from_complex(self, coefficients):
+        real = CQT.to_real(coefficients)
+        mag = CQT.to_magnitude(real)
+        db = CQT.to_decibels(mag)
+        return db[..., None]
+
+    def to_activations(self, coefficients):
+        return jnp.squeeze(coefficients, axis=-3)

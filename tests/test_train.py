@@ -1,0 +1,122 @@
+"""Training-step and data-parallel tests (on the virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from timbre_trap_tpu.models import TimbreTrap
+from timbre_trap_tpu.parallel import make_mesh, shard_batch
+from timbre_trap_tpu.train import (
+    PlateauDecay,
+    TrainConfig,
+    cosine_warmup,
+    init_train_state,
+    make_train_step,
+    shard_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                      secs_per_block=0.5, latent_size=16, model_complexity=1)
+
+
+def _fake_batch(model, batch_size, mpe_batch_size, rng):
+    L = model.sliCQ.block_length
+    M = model.sliCQ.max_window_length
+    audio = rng.standard_normal((batch_size, 1, L)).astype(np.float32) * 0.1
+    gt = (rng.uniform(size=(mpe_batch_size, model.sliCQ.n_bins, M)) > 0.97)
+    return jnp.asarray(audio), jnp.asarray(gt.astype(np.float32))
+
+
+def test_cosine_warmup_matches_reference_form():
+    sched = cosine_warmup(10)
+    # Reference closed form (utils/experiments.py:129-141)
+    import math
+    for step in [0, 3, 9, 10, 25]:
+        curr = 1 + min(step, 10)
+        ref = 1 - 0.5 * (1 + math.cos(curr * math.pi / 11))
+        assert float(sched(step)) == pytest.approx(ref, abs=1e-6)
+    assert float(sched(10_000)) == pytest.approx(1.0)
+
+
+def test_cosine_warmup_disabled():
+    sched = cosine_warmup(0)
+    assert float(sched(0)) == 1.0
+
+
+def test_plateau_decay():
+    pd = PlateauDecay(patience=2, cooldown=1, maximize=True)
+    assert pd.step(0.5) == 1.0          # first value becomes best
+    assert pd.step(0.5) == 1.0          # bad 1
+    assert pd.step(0.5) == 1.0          # bad 2
+    assert pd.step(0.5) == 0.5          # bad 3 > patience -> decay
+    assert pd.step(0.5) == 0.5          # cooldown swallows one bad step
+    assert pd.step(0.6) == 0.5          # improvement resets counter
+    assert pd.best == 0.6
+
+
+def test_train_step_decreases_loss(tiny_model, rng):
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2))
+    params, opt_state = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 2, 2, rng)
+
+    losses = []
+    for i in range(5):
+        params, opt_state, metrics = step(params, opt_state, audio, gt, 1e-3)
+        losses.append(float(metrics["loss/total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert "loss/consistency/spectral" in metrics
+    assert "avg_norm/encoder" in metrics and "max_norm/decoder" in metrics
+
+
+def test_train_step_mixed_batch(tiny_model, rng):
+    """Audio-only samples join reconstruction loss but not transcription."""
+    cfg = TrainConfig(multiplier_consistency=0.0)
+    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=1))
+    params, opt_state = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 3, 1, rng)  # 1 MPE + 2 audio-only
+    params, opt_state, metrics = step(params, opt_state, audio, gt, 1e-3)
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert "loss/consistency/spectral" not in metrics
+
+
+def test_late_start_excludes_transcription(tiny_model, rng):
+    cfg = TrainConfig(multiplier_consistency=0.0, transcription_active=False)
+    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2))
+    params, opt_state = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 2, 2, rng)
+    _, _, metrics = step(params, opt_state, audio, gt, 1e-3)
+    assert float(metrics["loss/total"]) == pytest.approx(
+        float(metrics["loss/reconstruction"]), rel=1e-6)
+
+
+def test_data_parallel_matches_single_device(tiny_model, rng):
+    """The sharded step over 8 virtual devices must produce the same params
+    as the unsharded step on the same global batch."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    mpe_bs = 8
+    step = make_train_step(tiny_model, cfg, mpe_batch_size=mpe_bs)
+    params, opt_state = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 8, mpe_bs, rng)
+
+    # Single-device reference
+    p1, _, m1 = jax.jit(step)(params, opt_state, audio, gt, 1e-3)
+
+    # Data-parallel over the mesh
+    mesh = make_mesh(8)
+    sharded_step = shard_train_step(step, mesh)
+    sa, sgt = shard_batch(mesh, (audio, gt))
+    p8, _, m8 = sharded_step(params, opt_state, sa, sgt, 1e-3)
+
+    assert float(m1["loss/total"]) == pytest.approx(float(m8["loss/total"]), rel=1e-4)
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)

@@ -182,6 +182,10 @@ class TimbreTrap:
         """Transcription coefficients (B,C,F,T) -> activations (B,F,T) in [0,1]."""
         return jnp.tanh(CQT.to_magnitude(coefficients))
 
+    def to_activations_nhwc(self, coefficients):
+        """Internal-layout (B,F,T,C) counterpart used by the training step."""
+        return jnp.tanh(jnp.linalg.norm(coefficients, axis=-1))
+
     def transcribe(self, audio):
         """Audio (B,1,N) -> multi-pitch activations (B,F,T)."""
         return self.to_activations(self.chunked_inference(audio, True))
@@ -211,6 +215,9 @@ class TimbreTrapMag(TimbreTrap):
     def to_activations(self, coefficients):
         return jnp.tanh(jnp.squeeze(coefficients, axis=-3))
 
+    def to_activations_nhwc(self, coefficients):
+        return jnp.tanh(coefficients[..., 0])
+
 
 class TimbreTrapMagDB(TimbreTrapMag):
     """Magnitude-CQT (rescaled decibels) variant (reference modules.py:995-1075)."""
@@ -225,3 +232,6 @@ class TimbreTrapMagDB(TimbreTrapMag):
 
     def to_activations(self, coefficients):
         return jnp.squeeze(coefficients, axis=-3)
+
+    def to_activations_nhwc(self, coefficients):
+        return coefficients[..., 0]

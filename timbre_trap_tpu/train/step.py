@@ -1,0 +1,166 @@
+"""The jitted training step: loss composition, AdamW, grad telemetry.
+
+Loss composition mirrors the reference trainer (``experiments/train.py:
+404-464``): the batch is [MPE samples | audio-only samples]; reconstruction
+loss runs on the full batch against the (stop-gradient) transform
+coefficients, transcription + consistency losses run on the MPE prefix only.
+Unlike the reference, the CQT is computed ONCE per step (the reference
+computes it twice — at train.py:404 for targets and again inside
+``model.forward``).
+
+Optimizer: AdamW with decoupled weight decay and global-norm clipping at 10
+(``train.py:334,493``), with the learning rate passed in as a scalar so
+host-side schedules (warmup x plateau) never trigger recompiles.
+
+The step is sharding-agnostic: wrap it with :func:`shard_train_step` to run
+data-parallel over a mesh — XLA inserts the gradient all-reduce.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharded, replicated
+
+__all__ = ["TrainConfig", "make_optimizer", "make_train_step",
+           "shard_train_step", "init_train_state", "grad_norm_telemetry"]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters of one training run (reference train.py:29-124)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01           # torch AdamW default
+    grad_clip: float = 10.0
+    multiplier_reconstruction: float = 1.0
+    multiplier_transcription: float = 1.0
+    multiplier_consistency: float = 1.0
+    weight_positive_class: bool = True
+    transcription_active: bool = True    # False before n_epochs_late_start
+
+
+def make_optimizer(config: TrainConfig):
+    """AdamW (decoupled wd) + global-norm clip; LR applied inside the step."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.scale(-1.0),
+    )
+
+
+def init_train_state(model, config: TrainConfig):
+    """Returns (params, opt_state) for a model instance."""
+    tx = make_optimizer(config)
+    return model.params, tx.init(model.params)
+
+
+def grad_norm_telemetry(grads):
+    """Average/max per-leaf gradient norms for encoder and decoder subtrees
+    (reference utils/experiments.py:144-280, logged at train.py:474-490)."""
+    metrics = {}
+    for scope in ("encoder", "decoder"):
+        sub = grads.get(scope) if isinstance(grads, dict) else None
+        if sub is None:
+            continue
+        leaves = jax.tree.leaves(sub)
+        norms = jnp.stack([jnp.linalg.norm(g.ravel()) for g in leaves])
+        metrics[f"avg_norm/{scope}"] = jnp.mean(norms)
+        metrics[f"max_norm/{scope}"] = jnp.max(norms)
+    return metrics
+
+
+def _recon_loss_nhwc(reconstructed, target):
+    """Reconstruction loss on NHWC (B, F, T, C): sum over F+C, mean over B+T
+    — identical math to objectives.compute_reconstruction_loss on NCHW."""
+    se = jnp.square(reconstructed - target)
+    return jnp.mean(jnp.sum(se, axis=(1, 3)))
+
+
+def _transcription_loss(estimate, target, weighted):
+    """(B, F, T) activations vs ground truth (objectives.py:36-74)."""
+    loss = jnp.square(estimate - target)
+    if weighted:
+        eps = jnp.finfo(jnp.float32).eps
+        pos = jnp.sum(target, axis=-2, keepdims=True)
+        neg = jnp.sum(1.0 - target, axis=-2, keepdims=True)
+        scaling = jnp.where(target == 1, neg / (pos + eps), 0.0)
+        scaling = jnp.where(scaling == 0, 1.0, scaling)
+        loss = loss * scaling
+    return jnp.mean(jnp.sum(loss, axis=-2))
+
+
+def make_train_step(model, config: TrainConfig, mpe_batch_size: int):
+    """Build the pure train step for a model instance.
+
+    step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
+    metrics). ``audio`` is (B, 1, N) with the first ``mpe_batch_size``
+    samples annotated; ``ground_truth`` is (mpe_batch_size, F, T_frames).
+    """
+    net = model.net
+    features_from_audio = model.features_from_audio
+    to_activations_nhwc = model.to_activations_nhwc
+    consistency = bool(config.multiplier_consistency)
+    tx = make_optimizer(config)
+
+    def loss_fn(params, features, ground_truth):
+        outputs = net.apply({"params": params}, features, consistency)
+        reconstruction, _, transcription, trn_rec, trn_scr, aux_losses = outputs
+
+        activations = to_activations_nhwc(transcription)
+        loss_rec = _recon_loss_nhwc(reconstruction, features)
+        loss_trn = _transcription_loss(activations[:mpe_batch_size],
+                                       ground_truth,
+                                       config.weight_positive_class)
+        metrics = {"loss/reconstruction": loss_rec,
+                   "loss/transcription": loss_trn}
+        total = config.multiplier_reconstruction * loss_rec
+        if consistency:
+            target = transcription[:mpe_batch_size]
+            loss_sp = _recon_loss_nhwc(trn_rec[:mpe_batch_size], target)
+            loss_sc = _recon_loss_nhwc(trn_scr[:mpe_batch_size], target)
+            metrics["loss/consistency/spectral"] = loss_sp
+            metrics["loss/consistency/score"] = loss_sc
+        if config.transcription_active:
+            total = total + config.multiplier_transcription * loss_trn
+            if consistency:
+                total = total + config.multiplier_consistency * (loss_sp + loss_sc)
+        for key, val in aux_losses.items():
+            metrics[f"loss/{key}"] = val
+            total = total + val
+        metrics["loss/total"] = total
+        return total, metrics
+
+    def step(params, opt_state, audio, ground_truth, lr):
+        features = features_from_audio(audio)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, features, ground_truth)
+        metrics.update(grad_norm_telemetry(grads))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        metrics["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return params, opt_state, metrics
+
+    return step
+
+
+def shard_train_step(step_fn, mesh):
+    """Jit a train step data-parallel over ``mesh``.
+
+    Parameters/optimizer state are replicated; audio and ground truth are
+    sharded over the leading batch axis. XLA emits the gradient all-reduce
+    over ICI (SURVEY.md §2.6 — the DataParallel equivalent).
+    """
+    repl = replicated(mesh)
+    data = batch_sharded(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, data, data, None),
+        out_shardings=(repl, repl, repl),
+    )

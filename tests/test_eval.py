@@ -1,0 +1,128 @@
+"""Tests for the multipitch metric suite, processing utils, and evaluator."""
+
+import numpy as np
+import pytest
+
+from timbre_trap_tpu.eval import multipitch as mp
+from timbre_trap_tpu.utils import (
+    MultipitchEvaluator,
+    filter_non_peaks,
+    threshold,
+)
+
+
+def _hz(*midis):
+    return np.array([440.0 * 2 ** ((m - 69) / 12) for m in midis])
+
+
+def test_perfect_estimate():
+    times = np.arange(4) * 0.01
+    freqs = [_hz(60), _hz(60, 64), np.array([]), _hz(67)]
+    scores = mp.evaluate(times, freqs, times, freqs)
+    assert scores["Precision"] == 1.0
+    assert scores["Recall"] == 1.0
+    assert scores["Accuracy"] == 1.0
+    assert scores["Total Error"] == 0.0
+    assert scores["Chroma Accuracy"] == 1.0
+
+
+def test_empty_estimate():
+    times = np.arange(3) * 0.01
+    ref = [_hz(60), _hz(62), _hz(64)]
+    est = [np.array([])] * 3
+    scores = mp.evaluate(times, ref, times, est)
+    assert scores["Precision"] == 0.0
+    assert scores["Recall"] == 0.0
+    assert scores["Miss Error"] == 1.0
+    assert scores["Total Error"] == 1.0
+
+
+def test_tolerance_window():
+    times = np.array([0.0])
+    ref = [_hz(60)]
+    within = [_hz(60.4)]   # 0.4 st off -> hit at 0.5 st tolerance
+    outside = [_hz(60.6)]  # 0.6 st off -> miss
+    assert mp.evaluate(times, ref, times, within)["Recall"] == 1.0
+    assert mp.evaluate(times, ref, times, outside)["Recall"] == 0.0
+
+
+def test_octave_error_chroma():
+    times = np.array([0.0, 0.01])
+    ref = [_hz(60), _hz(55)]
+    est = [_hz(72), _hz(55)]  # first is an octave error
+    scores = mp.evaluate(times, ref, times, est)
+    assert scores["Recall"] == pytest.approx(0.5)
+    assert scores["Chroma Recall"] == pytest.approx(1.0)
+    assert scores["Substitution Error"] == pytest.approx(0.5)
+
+
+def test_false_alarm_error():
+    times = np.array([0.0])
+    ref = [_hz(60)]
+    est = [_hz(60, 64, 67)]  # 2 extra notes
+    scores = mp.evaluate(times, ref, times, est)
+    assert scores["Recall"] == 1.0
+    assert scores["Precision"] == pytest.approx(1 / 3)
+    assert scores["False Alarm Error"] == pytest.approx(2.0)
+
+
+def test_duplicate_estimates_not_double_counted():
+    """Optimal matching: two estimates can't both match one reference."""
+    times = np.array([0.0])
+    ref = [_hz(60)]
+    est = [_hz(60.0, 60.1)]
+    scores = mp.evaluate(times, ref, times, est)
+    assert scores["Recall"] == 1.0
+    assert scores["Precision"] == pytest.approx(0.5)
+
+
+def test_resampling_to_ref_grid():
+    ref_times = np.array([0.0, 0.1, 0.2])
+    est_times = np.array([0.0, 0.05, 0.1, 0.15, 0.2])
+    ref = [_hz(60)] * 3
+    est = [_hz(60), _hz(62), _hz(60), _hz(62), _hz(60)]
+    scores = mp.evaluate(ref_times, ref, est_times, est)
+    assert scores["Recall"] == 1.0  # nearest frames line up
+
+
+def test_resample_multipitch_out_of_range():
+    out = mp.resample_multipitch(np.array([1.0, 2.0]),
+                                 [_hz(60), _hz(62)],
+                                 np.array([0.0, 1.0, 2.0, 3.0]))
+    assert len(out[0]) == 0 and len(out[3]) == 0
+    assert np.allclose(out[1], _hz(60)) and np.allclose(out[2], _hz(62))
+
+
+def test_evaluator_accumulation():
+    ev = MultipitchEvaluator(tolerance=0.5)
+    times = np.array([0.0, 0.01])
+    ref = [_hz(60), _hz(64)]
+    r1 = ev.evaluate(times, ref, times, ref)
+    assert r1["mpe/f1-score"] == pytest.approx(1.0, abs=1e-9)
+    ev.append_results(r1)
+    ev.append_results(ev.evaluate(times, [np.array([])] * 2, times, ref))
+    mean, std = ev.average_results()
+    assert mean["mpe/f1-score"] == pytest.approx(0.5, abs=1e-6)
+    assert std["mpe/precision"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_threshold():
+    arr = np.array([[0.2, 0.5, 0.8]])
+    out = threshold(arr, 0.5)
+    assert np.array_equal(out, [[0.0, 1.0, 1.0]])
+
+
+def test_filter_non_peaks():
+    col = np.array([[0.1], [0.5], [0.3], [0.7], [0.7]])
+    out = filter_non_peaks(col)
+    # 0.5 is a peak (0.1 < 0.5 > 0.3); plateau 0.7,0.7 is not strict
+    assert out[1, 0] == 0.5
+    assert out[0, 0] == 0.0 and out[2, 0] == 0.0
+    assert out[3, 0] == 0.0 and out[4, 0] == 0.0
+
+
+def test_filter_non_peaks_edges():
+    col = np.array([[0.9], [0.1], [0.8]])
+    out = filter_non_peaks(col)
+    assert out[0, 0] == 0.9  # edge peak vs implicit zero row
+    assert out[2, 0] == 0.8

@@ -1,0 +1,71 @@
+"""Evaluate a checkpoint on the standard evaluation sets
+(reference: experiments/evaluate.py used as a module + CLI here).
+
+Example:
+    python experiments/evaluate.py --checkpoint runs/base/models/model-250 \
+        --datasets Bach10 URMP
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from timbre_trap_tpu.eval.evaluation import evaluate  # noqa: F401 (re-export)
+from timbre_trap_tpu.models import TimbreTrap
+from timbre_trap_tpu.train import load_checkpoint
+from timbre_trap_tpu.utils import print_and_log
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--datasets", nargs="+", default=["Bach10"],
+                   choices=["Bach10", "URMP", "Su", "TRIOS", "GuitarSet"])
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--n-octaves", type=int, default=9)
+    p.add_argument("--bins-per-octave", type=int, default=60)
+    p.add_argument("--base-dirs", nargs="*", default=None,
+                   help="base dir per dataset, aligned with --datasets")
+    p.add_argument("--log-path", default=None)
+    args = p.parse_args()
+
+    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
+                       bins_per_octave=args.bins_per_octave, secs_per_block=3,
+                       latent_size=128, model_complexity=2)
+    state = load_checkpoint(args.checkpoint)
+    model.params = state["params"]
+
+    from timbre_trap_tpu.data.datasets.MixedMultiPitch import (
+        URMP as URMP_Mixtures, Bach10 as Bach10_Mixtures, Su, TRIOS)
+    from timbre_trap_tpu.data.datasets.SoloMultiPitch import GuitarSet
+
+    urmp_val_splits = ["01", "02", "12", "13", "24", "25", "31", "38", "39"]
+    registry = {
+        "Bach10": lambda base: Bach10_Mixtures(
+            base_dir=base, splits=None, sample_rate=args.sample_rate,
+            cqt=model.sliCQ),
+        "URMP": lambda base: URMP_Mixtures(
+            base_dir=base, splits=urmp_val_splits,
+            sample_rate=args.sample_rate, cqt=model.sliCQ),
+        "Su": lambda base: Su(base_dir=base, splits=None,
+                              sample_rate=args.sample_rate, cqt=model.sliCQ),
+        "TRIOS": lambda base: TRIOS(base_dir=base, splits=None,
+                                    sample_rate=args.sample_rate,
+                                    cqt=model.sliCQ),
+        "GuitarSet": lambda base: GuitarSet(
+            base_dir=base, splits=["05"], sample_rate=args.sample_rate,
+            cqt=model.sliCQ),
+    }
+
+    multipliers = {"reconstruction": 1, "transcription": 1, "consistency": 1}
+    base_dirs = args.base_dirs or [None] * len(args.datasets)
+    for name, base in zip(args.datasets, base_dirs):
+        eval_set = registry[name](base)
+        results = evaluate(model, eval_set, multipliers)
+        print_and_log(f"[{name}] {results}", args.log_path)
+
+
+if __name__ == "__main__":
+    main()

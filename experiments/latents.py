@@ -1,0 +1,61 @@
+"""Visualize time-averaged stem latents with t-SNE
+(reference: experiments/latents.py).
+
+Computes the latent code of each Bach10 stem, averages it over time, and
+saves a 2-D t-SNE scatter colored by instrument.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from timbre_trap_tpu.data import constants
+from timbre_trap_tpu.models import TimbreTrap
+from timbre_trap_tpu.train import load_checkpoint
+from timbre_trap_tpu.utils import to_array
+from timbre_trap_tpu.utils.visualization import plot_latents
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--bach10-dir", default=None)
+    p.add_argument("--output", default=os.path.join("generated",
+                                                    "latents.pdf"))
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=9,
+                       bins_per_octave=60, secs_per_block=3,
+                       latent_size=128, model_complexity=2)
+    state = load_checkpoint(args.checkpoint)
+    model.params = state["params"]
+
+    from timbre_trap_tpu.data.datasets.SoloMultiPitch import Bach10
+
+    eval_set = Bach10(base_dir=args.bach10_dir, splits=None,
+                      sample_rate=args.sample_rate, cqt=model.sliCQ)
+
+    latents, labels = [], []
+    for data in eval_set:
+        track = data[constants.KEY_TRACK]
+        audio = np.asarray(data[constants.KEY_AUDIO])[None]
+        audio = np.asarray(model.sliCQ.pad_to_block_length(audio))
+        z, _, _ = model.encode(audio)           # (1, D, T)
+        latents.append(to_array(z)[0].mean(axis=-1))
+        labels.append(track.split("-")[-1])      # instrument name
+        print(f"encoded {track}")
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    plot_latents(np.stack(latents), labels, seed=args.seed,
+                 save_path=args.output)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

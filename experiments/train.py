@@ -1,0 +1,157 @@
+"""Train a Timbre-Trap model (reference: experiments/train.py).
+
+Dataset assembly follows the reference recipe: URMP mixtures for MPE
+training (debug mode uses the URMP validation mixtures only), URMP
+validation split per MT3, and TRIOS / Bach10 / Su / GuitarSet player 05 as
+additional validation sets. Config is argparse + JSON dump (the sacred
+replacement); logging goes to TensorBoard via tensorboardX.
+
+Example:
+    python experiments/train.py --root-dir runs/base --debug
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from timbre_trap_tpu.data import ComboDataset, DataLoader
+from timbre_trap_tpu.models import TimbreTrap
+from timbre_trap_tpu.train import Trainer, TrainerConfig, load_checkpoint
+from timbre_trap_tpu.utils import seed_everything
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root-dir", default=os.path.join("generated",
+                                                      "experiments", "Base"))
+    p.add_argument("--checkpoint-path", default=None)
+    p.add_argument("--max-epochs", type=int, default=5000)
+    p.add_argument("--checkpoint-interval", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--n-secs", type=float, default=9)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--mult-reconstruction", type=float, default=1)
+    p.add_argument("--mult-transcription", type=float, default=1)
+    p.add_argument("--mult-consistency", type=float, default=1)
+    p.add_argument("--n-epochs-warmup", type=int, default=50)
+    p.add_argument("--n-epochs-late-start", type=int, default=0)
+    p.add_argument("--n-epochs-decay", type=int, default=500)
+    p.add_argument("--n-epochs-cooldown", type=int, default=100)
+    p.add_argument("--n-epochs-early-stop", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="data-parallel over the first N devices")
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--n-octaves", type=int, default=9)
+    p.add_argument("--bins-per-octave", type=int, default=60)
+    p.add_argument("--n-workers", type=int, default=8)
+    p.add_argument("--debug", action="store_true",
+                   help="lightweight setup: URMP validation mixtures only")
+    p.add_argument("--urmp-dir", default=None)
+    p.add_argument("--bach10-dir", default=None)
+    p.add_argument("--su-dir", default=None)
+    p.add_argument("--trios-dir", default=None)
+    p.add_argument("--gset-dir", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    seed_everything(args.seed)
+
+    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
+                       bins_per_octave=args.bins_per_octave, secs_per_block=3,
+                       latent_size=128, model_complexity=2,
+                       skip_connections=False, seed=args.seed)
+
+    if args.checkpoint_path is not None:
+        state = load_checkpoint(args.checkpoint_path)
+        model.params = state["params"]
+
+    from timbre_trap_tpu.data.datasets.MixedMultiPitch import (
+        URMP as URMP_Mixtures, Bach10 as Bach10_Mixtures, Su, TRIOS)
+    from timbre_trap_tpu.data.datasets.SoloMultiPitch import GuitarSet
+
+    # URMP validation set per the MT3 paper (reference train.py:177)
+    urmp_val_splits = ["01", "02", "12", "13", "24", "25", "31", "38", "39"]
+    urmp_train_splits = [s for s in URMP_Mixtures.available_splits()
+                         if s not in urmp_val_splits]
+
+    mpe_train = []
+    if args.debug:
+        mpe_train.append(URMP_Mixtures(
+            base_dir=args.urmp_dir, splits=urmp_val_splits,
+            sample_rate=args.sample_rate, cqt=model.sliCQ,
+            n_secs=args.n_secs, seed=args.seed))
+    else:
+        mpe_train.append(URMP_Mixtures(
+            base_dir=args.urmp_dir, splits=urmp_train_splits,
+            sample_rate=args.sample_rate, cqt=model.sliCQ,
+            n_secs=args.n_secs, seed=args.seed))
+
+    mpe_train = ComboDataset(mpe_train)
+    mpe_loader = DataLoader(mpe_train, batch_size=args.batch_size,
+                            shuffle=True, num_workers=args.n_workers,
+                            drop_last=True, seed=args.seed)
+    audio_loader = None  # audio-only corpora are commented out in the reference
+
+    validation_sets = []
+    validation_sets.append(URMP_Mixtures(
+        base_dir=args.urmp_dir, splits=urmp_val_splits,
+        sample_rate=args.sample_rate, cqt=model.sliCQ, seed=args.seed))
+    if not args.debug:
+        for cls, base in ((TRIOS, args.trios_dir),
+                          (Bach10_Mixtures, args.bach10_dir),
+                          (Su, args.su_dir)):
+            try:
+                validation_sets.append(cls(base_dir=base, splits=None,
+                                           sample_rate=args.sample_rate,
+                                           cqt=model.sliCQ, seed=args.seed))
+            except Exception as e:  # dataset not present locally
+                print(f"skipping validation set {cls.__name__}: {e}")
+        try:
+            validation_sets.append(GuitarSet(
+                base_dir=args.gset_dir, splits=["05"],
+                sample_rate=args.sample_rate, cqt=model.sliCQ, seed=args.seed))
+        except Exception as e:
+            print(f"skipping validation set GuitarSet: {e}")
+
+    config = TrainerConfig(
+        max_epochs=args.max_epochs,
+        checkpoint_interval=args.checkpoint_interval,
+        batch_size=args.batch_size,
+        n_secs=args.n_secs,
+        learning_rate=args.learning_rate,
+        multipliers={"reconstruction": args.mult_reconstruction,
+                     "transcription": args.mult_transcription,
+                     "consistency": args.mult_consistency},
+        n_epochs_warmup=args.n_epochs_warmup,
+        validation_criteria_set=validation_sets[0].name(),
+        n_epochs_late_start=args.n_epochs_late_start,
+        n_epochs_decay=args.n_epochs_decay,
+        n_epochs_cooldown=args.n_epochs_cooldown,
+        n_epochs_early_stop=args.n_epochs_early_stop,
+        n_devices=args.n_devices,
+        seed=args.seed,
+        root_dir=args.root_dir,
+    )
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.root_dir, "models"))
+    except ImportError:
+        writer = None
+
+    trainer = Trainer(model, mpe_loader, audio_loader, validation_sets,
+                      config, writer=writer)
+    best_ckpt, best_results = trainer.run()
+    print(f"Achieved best results at {best_ckpt} iterations...")
+    for name, results in (best_results or {}).items():
+        print(f"[{name}] {results}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Functional parity of the torch-weight importer against the REFERENCE model.
+
+The reference package itself is imported (read-only, from /root/reference)
+with its unavailable dependencies stubbed out; its Encoder/Decoder are run
+on random input and compared against our flax model with imported weights.
+This is the strongest offline check that tt-orig.pt-style checkpoints will
+reproduce bit-compatible behavior (SURVEY.md §7 step 2).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from timbre_trap_tpu.interop import import_torch_state_dict
+from timbre_trap_tpu.models import TimbreTrapNet
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import reference Encoder/Decoder with missing deps stubbed."""
+    sys.path.insert(0, REFERENCE_PATH)
+    # Stub packages the reference imports at module scope but which are
+    # irrelevant for Encoder/Decoder math.
+    for name in ("cqt_pytorch", "librosa", "torchaudio",
+                 "torchaudio.transforms"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["cqt_pytorch"].CQT = object
+    sys.modules["torchaudio.transforms"].AmplitudeToDB = object
+    sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+    sys.modules["librosa"].hz_to_midi = lambda f: 69 + 12 * np.log2(np.asarray(f) / 440)
+    sys.modules["librosa"].midi_to_hz = lambda m: 440 * 2 ** ((np.asarray(m) - 69) / 12)
+    try:
+        from timbre_trap.framework.modules import Decoder, Encoder
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    yield Encoder, Decoder
+    sys.path.remove(REFERENCE_PATH)
+
+
+@pytest.mark.parametrize("feature_size,latent,complexity", [(60, 16, 1),
+                                                            (124, 32, 2)])
+def test_encoder_decoder_parity(reference_modules, feature_size, latent,
+                                complexity, rng):
+    RefEncoder, RefDecoder = reference_modules
+    T = 6
+
+    ref_enc = RefEncoder(feature_size=feature_size, latent_size=latent,
+                         model_complexity=complexity).eval()
+    ref_dec = RefDecoder(feature_size=feature_size, latent_size=latent,
+                         model_complexity=complexity).eval()
+
+    # Collect torch weights under the full-model naming scheme.
+    state_dict = {}
+    for prefix, module in (("encoder", ref_enc), ("decoder", ref_dec)):
+        for key, val in module.state_dict().items():
+            state_dict[f"{prefix}.{key}"] = val
+
+    net = TimbreTrapNet(feature_size=feature_size, latent_size=latent,
+                        model_complexity=complexity)
+    x_nhwc = rng.standard_normal((2, feature_size, T, 2)).astype(np.float32)
+    init_params = net.init(jax.random.PRNGKey(0), jnp.asarray(x_nhwc))["params"]
+    params = import_torch_state_dict(state_dict, init_params)
+
+    # --- encoder parity ------------------------------------------------
+    with torch.no_grad():
+        ref_lat, ref_embs, _ = ref_enc(
+            torch.from_numpy(np.moveaxis(x_nhwc, -1, 1)))
+    latents, embeddings, _ = net.apply({"params": params}, jnp.asarray(x_nhwc),
+                                       method="encode")
+    got_lat = np.moveaxis(np.asarray(latents), -1, 1)  # (B,T,D)->(B,D,T)
+    np.testing.assert_allclose(got_lat, ref_lat.numpy(), atol=2e-4)
+    for ref_e, got_e in zip(ref_embs, embeddings):
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got_e), -1, 1),
+                                   ref_e.numpy(), atol=2e-4)
+
+    # --- decoder parity (with the indicator channel appended) ----------
+    with torch.no_grad():
+        lat_plus = torch.cat([ref_lat, torch.ones_like(ref_lat[:, :1])], dim=1)
+        ref_out = ref_dec(lat_plus)
+    got_out = net.apply({"params": params}, latents, None, False,
+                        method="decode")
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got_out), -1, 1),
+                               ref_out.numpy(), atol=2e-4)
+
+
+def test_importer_rejects_shape_mismatch(rng):
+    net = TimbreTrapNet(feature_size=60, latent_size=16)
+    x = jnp.zeros((1, 60, 4, 2))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    bad = {"encoder.convin.0.weight": rng.standard_normal((3, 2, 3, 3)),
+           "encoder.convin.0.bias": rng.standard_normal(3)}
+    with pytest.raises(ValueError):
+        import_torch_state_dict(bad, params)

@@ -1,0 +1,128 @@
+"""End-to-end trainer / evaluator / checkpoint tests on a toy corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from timbre_trap_tpu.data import DataLoader, MPEDataset, constants
+from timbre_trap_tpu.data.io import save_wav
+from timbre_trap_tpu.eval import evaluate, signal_distortion_ratio
+from timbre_trap_tpu.models import TimbreTrap
+from timbre_trap_tpu.train import (Trainer, TrainerConfig, latest_checkpoint,
+                                   load_checkpoint, save_checkpoint)
+from timbre_trap_tpu.transform.design import midi_to_hz
+
+SR = 8000
+
+
+class ToyMPE(MPEDataset):
+    @staticmethod
+    def available_splits():
+        return ["all"]
+
+    def get_tracks(self, split):
+        return sorted(f[:-4] for f in os.listdir(self.base_dir)
+                      if f.endswith(".wav"))
+
+    def get_audio_path(self, track):
+        return os.path.join(self.base_dir, f"{track}.wav")
+
+    def get_ground_truth_path(self, track):
+        return os.path.join(self.base_dir, f"{track}.f0.npy")
+
+    def get_ground_truth(self, track):
+        d = np.load(self.get_ground_truth_path(track), allow_pickle=True).item()
+        return d["times"], [np.asarray(p) for p in d["pitches"]]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return TimbreTrap(sample_rate=SR, n_octaves=5, bins_per_octave=12,
+                      secs_per_block=0.5, latent_size=16, model_complexity=1)
+
+
+@pytest.fixture()
+def corpus(tmp_path, model):
+    for i, midi in enumerate([57.0, 60.0, 64.0, 69.0]):
+        f = float(midi_to_hz(midi))
+        n = int(1.5 * SR)
+        audio = 0.5 * np.sin(2 * np.pi * f * np.arange(n) / SR)
+        save_wav(str(tmp_path / f"tr{i}.wav"), audio.astype(np.float32), SR)
+        times = np.arange(0, 1.5, 0.01)
+        np.save(str(tmp_path / f"tr{i}.f0.npy"),
+                {"times": times, "pitches": [np.array([f])] * len(times)})
+    return str(tmp_path)
+
+
+def test_sdr_identical_signals(rng):
+    x = rng.standard_normal((1, 4000))
+    assert signal_distortion_ratio(x, x) > 80.0
+
+
+def test_sdr_scaled_and_noisy(rng):
+    x = rng.standard_normal(4000)
+    # A pure gain is absorbed by the projection filter -> very high SDR.
+    assert signal_distortion_ratio(0.5 * x, x) > 80.0
+    noisy = x + 0.1 * rng.standard_normal(4000)
+    sdr = signal_distortion_ratio(noisy, x)
+    assert 15.0 < sdr < 25.0  # ~20 dB SNR
+
+
+def test_checkpoint_round_trip(tmp_path, model):
+    from timbre_trap_tpu.train import TrainConfig, init_train_state
+
+    params, opt_state = init_train_state(model, TrainConfig())
+    path = save_checkpoint(str(tmp_path / "model-10"), params, opt_state, 10)
+    state = load_checkpoint(path)
+    assert int(state["step"]) == 10
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert latest_checkpoint(str(tmp_path)) == path
+
+
+def test_evaluate_on_toy_set(model, corpus):
+    ds = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                cqt=model.sliCQ, n_secs=None)
+    multipliers = {"reconstruction": 1, "transcription": 1, "consistency": 1}
+    results = evaluate(model, ds, multipliers)
+    assert "mpe/f1-score" in results
+    assert "reconstruction/SDR" in results
+    assert "loss/total" in results
+    assert np.isfinite(results["loss/total"])
+
+
+def test_trainer_end_to_end(model, corpus, tmp_path):
+    train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                       cqt=model.sliCQ, n_secs=0.5, seed=0)
+    val_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                     cqt=model.sliCQ, n_secs=None, seed=0)
+    loader = DataLoader(train_set, batch_size=2, shuffle=True, drop_last=True)
+
+    config = TrainerConfig(max_epochs=2, checkpoint_interval=2, batch_size=2,
+                           n_secs=0.5, learning_rate=1e-3,
+                           n_epochs_warmup=1, validation_criteria_set="ToyMPE",
+                           root_dir=str(tmp_path / "run"))
+    trainer = Trainer(model, loader, None, [val_set], config)
+    best_ckpt, best_results = trainer.run()
+
+    assert trainer.batch_count == 4  # 2 epochs x 2 batches
+    assert best_ckpt in (2, 4)
+    assert "ToyMPE" in best_results
+    assert os.path.isdir(os.path.join(config.root_dir, "models", "model-2"))
+    assert os.path.exists(os.path.join(config.root_dir, "config.json"))
+
+
+def test_trainer_late_start(model, corpus, tmp_path):
+    train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                       cqt=model.sliCQ, n_secs=0.5, seed=0)
+    loader = DataLoader(train_set, batch_size=2, drop_last=True)
+    config = TrainerConfig(max_epochs=1, checkpoint_interval=1000,
+                           batch_size=2, n_secs=0.5, n_epochs_late_start=5,
+                           root_dir=str(tmp_path / "run2"))
+    trainer = Trainer(model, loader, None, [], config)
+    trainer.run()
+    # Only the transcription-inactive step should have been compiled.
+    assert list(trainer._steps.keys()) == [False]

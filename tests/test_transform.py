@@ -166,3 +166,18 @@ def test_gradients_flow_through_magnitude(small_cqt, rng):
 def test_design_rejects_odd_block():
     with pytest.raises(ValueError):
         design_slicq(1000, 2, 4, 999)
+
+
+def test_encode_non_block_multiple(small_cqt, rng):
+    """Non-multiple inputs pad internally and truncate the frame axis to
+    ceil(samples/block * M) — the reference frame-count contract."""
+    L, M = small_cqt.block_length, small_cqt.max_window_length
+    n = L // 3 + 7
+    audio = rng.standard_normal((1, 1, n)).astype(np.float32)
+    coeffs = small_cqt.encode(audio)
+    assert coeffs.shape[-1] == small_cqt.get_expected_frames(n)
+    # Prefix frames must agree with the padded-audio encode.
+    padded = np.pad(audio, [(0, 0), (0, 0), (0, L - n)])
+    full = small_cqt.encode(padded)
+    assert np.allclose(np.asarray(coeffs),
+                       np.asarray(full)[..., :coeffs.shape[-1]], atol=1e-5)

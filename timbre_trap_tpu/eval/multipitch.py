@@ -19,12 +19,19 @@ from scipy.sparse import csr_matrix
 from scipy.sparse.csgraph import maximum_bipartite_matching
 
 __all__ = [
+    "MAX_FREQ",
+    "MIN_FREQ",
     "resample_multipitch",
     "frequencies_to_midi",
     "midi_to_chroma",
     "compute_num_true_positives",
     "evaluate",
 ]
+
+
+# Valid pitch range for frame-level evaluation (mir_eval convention).
+MIN_FREQ = 20.0
+MAX_FREQ = 5000.0
 
 
 def resample_multipitch(times, frequencies, target_times):

@@ -1,4 +1,6 @@
 from .schedules import cosine_warmup, PlateauDecay
+from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from .loop import TrainerConfig, Trainer
 from .step import (
     TrainConfig,
     make_optimizer,
@@ -11,6 +13,11 @@ from .step import (
 __all__ = [
     "cosine_warmup",
     "PlateauDecay",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "TrainerConfig",
+    "Trainer",
     "TrainConfig",
     "make_optimizer",
     "make_train_step",

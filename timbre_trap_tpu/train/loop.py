@@ -1,0 +1,221 @@
+"""The full training driver (reference: experiments/train.py:127-588).
+
+Host-side imperative shell around the pure jitted train step: mixed
+MPE + audio-only batch composition, cosine warmup x plateau decay,
+checkpoint-every-N-batches with validation sweeps, best-model tracking and
+early stopping. Data parallelism is applied by passing a mesh. Config is a
+dataclass dumped to JSON in the run directory (the sacred-equivalent run
+record, SURVEY.md §5.6).
+"""
+
+import dataclasses
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import constants
+from ..eval.evaluation import evaluate
+from ..parallel import make_mesh, shard_batch
+from .checkpoint import save_checkpoint
+from .schedules import PlateauDecay, cosine_warmup
+from .step import TrainConfig, init_train_state, make_train_step, shard_train_step
+
+__all__ = ["TrainerConfig", "Trainer"]
+
+
+@dataclass
+class TrainerConfig:
+    """Run-level hyperparameters (reference train.py:29-124)."""
+
+    max_epochs: int = 5000
+    checkpoint_interval: int = 250
+    batch_size: int = 8
+    n_secs: float = 9.0
+    learning_rate: float = 1e-3
+    multipliers: dict = field(default_factory=lambda: {
+        "reconstruction": 1, "transcription": 1, "consistency": 1})
+    n_epochs_warmup: int = 50
+    validation_criteria_set: str = "URMP"
+    validation_criteria_metric: str = "mpe/f1-score"
+    validation_criteria_maximize: bool = True
+    n_epochs_late_start: int = 0
+    n_epochs_decay: int = 500
+    n_epochs_cooldown: int = 100
+    n_epochs_early_stop: Optional[int] = None
+    n_devices: Optional[int] = None  # None = single device, no mesh
+    seed: int = 2
+    root_dir: str = "runs"
+
+    def dump(self, path):
+        with open(path, "w") as fh:
+            json.dump(dataclasses.asdict(self), fh, indent=2, default=str)
+
+
+class Trainer:
+    """Imperative training shell; all device math lives in the train step."""
+
+    def __init__(self, model, mpe_loader, audio_loader, validation_sets,
+                 config: TrainerConfig, writer=None):
+        self.model = model
+        self.mpe_loader = mpe_loader
+        self.audio_loader = audio_loader
+        self.validation_sets = validation_sets
+        self.config = config
+        self.writer = writer
+
+        os.makedirs(config.root_dir, exist_ok=True)
+        self.log_dir = os.path.join(config.root_dir, "models")
+        os.makedirs(self.log_dir, exist_ok=True)
+        config.dump(os.path.join(config.root_dir, "config.json"))
+
+        self.mpe_batch_size = mpe_loader.batch_size
+        self.epoch_steps = len(mpe_loader)
+        if audio_loader is not None:
+            self.epoch_steps = min(self.epoch_steps, len(audio_loader))
+
+        c = config
+        self.n_ckpt_cooldown = math.ceil(
+            c.n_epochs_cooldown * self.epoch_steps / c.checkpoint_interval)
+        self.n_ckpt_decay = math.ceil(
+            c.n_epochs_decay * self.epoch_steps / c.checkpoint_interval)
+        self.n_ckpt_early_stop = None if c.n_epochs_early_stop is None else \
+            math.ceil(c.n_epochs_early_stop * self.epoch_steps
+                      / c.checkpoint_interval)
+
+        self.warmup = cosine_warmup(c.n_epochs_warmup * self.epoch_steps)
+        self.plateau = PlateauDecay(patience=self.n_ckpt_decay,
+                                    cooldown=self.n_ckpt_cooldown,
+                                    maximize=c.validation_criteria_maximize)
+
+        self.mesh = make_mesh(c.n_devices) if c.n_devices else None
+
+        self._steps = {}
+        self.params, self.opt_state = init_train_state(
+            model, self._train_config(transcription_active=True))
+        self.batch_count = 0
+        self.best_results = None
+        self.best_checkpoint = None
+
+    # ------------------------------------------------------------------ #
+
+    def _train_config(self, transcription_active):
+        m = self.config.multipliers
+        return TrainConfig(
+            learning_rate=self.config.learning_rate,
+            multiplier_reconstruction=m.get("reconstruction", 1),
+            multiplier_transcription=m.get("transcription", 1),
+            multiplier_consistency=m.get("consistency", 1),
+            transcription_active=transcription_active,
+        )
+
+    def _get_step(self, transcription_active):
+        """Jitted (and optionally sharded) step per late-start phase."""
+        key = bool(transcription_active)
+        if key not in self._steps:
+            cfg = self._train_config(key)
+            step = make_train_step(self.model, cfg, self.mpe_batch_size)
+            if self.mesh is not None:
+                self._steps[key] = shard_train_step(step, self.mesh)
+            else:
+                self._steps[key] = jax.jit(step)
+        return self._steps[key]
+
+    def _compose_batch(self, data_mpe, data_audio):
+        audio = np.asarray(data_mpe[constants.KEY_AUDIO], np.float32)
+        gt = np.asarray(data_mpe[constants.KEY_GROUND_TRUTH], np.float32)
+        if data_audio is not None:
+            audio = np.concatenate(
+                [audio, np.asarray(data_audio[constants.KEY_AUDIO],
+                                   np.float32)], axis=0)
+        if self.mesh is not None:
+            audio, gt = shard_batch(self.mesh, (audio, gt))
+        return audio, gt
+
+    def _log(self, metrics):
+        if self.writer is None:
+            return
+        for key, value in metrics.items():
+            self.writer.add_scalar(f"train/{key}", float(value),
+                                   self.batch_count)
+
+    # ------------------------------------------------------------------ #
+
+    def run(self):
+        """Full training run; returns (best_checkpoint, best_results)."""
+        c = self.config
+        early_stop = False
+        n_ckpt_elapsed = 0
+
+        for epoch in range(c.max_epochs):
+            transcription_active = epoch >= c.n_epochs_late_start
+            step_fn = self._get_step(transcription_active)
+            audio_iter = iter(self.audio_loader) if self.audio_loader else None
+
+            for data_mpe in self.mpe_loader:
+                data_audio = next(audio_iter, None) if audio_iter else None
+                self.batch_count += 1
+
+                lr = c.learning_rate * float(self.warmup(self.batch_count - 1))
+                lr *= self.plateau.scale
+
+                audio, gt = self._compose_batch(data_mpe, data_audio)
+                self.params, self.opt_state, metrics = step_fn(
+                    self.params, self.opt_state, audio, gt,
+                    jnp.float32(lr))
+                self._log(metrics)
+
+                if self.batch_count % c.checkpoint_interval == 0:
+                    n_ckpt_elapsed = self._checkpoint_and_validate(
+                        epoch, n_ckpt_elapsed)
+                    if (self.n_ckpt_early_stop is not None
+                            and n_ckpt_elapsed >= self.n_ckpt_early_stop):
+                        early_stop = True
+                        break
+            if early_stop:
+                break
+
+        return self.best_checkpoint, self.best_results
+
+    def _checkpoint_and_validate(self, epoch, n_ckpt_elapsed):
+        c = self.config
+        self.model.params = self.params  # sync inference paths
+        ckpt_path = os.path.join(self.log_dir, f"model-{self.batch_count}")
+        save_checkpoint(ckpt_path, self.params, self.opt_state,
+                        self.batch_count)
+
+        validation_results = {}
+        for val_set in self.validation_sets:
+            validation_results[val_set.name()] = evaluate(
+                model=self.model, eval_set=val_set,
+                multipliers=c.multipliers, writer=self.writer,
+                i=self.batch_count)
+
+        warmup_active = self.batch_count < c.n_epochs_warmup * self.epoch_steps
+        if (self.n_ckpt_decay and not warmup_active
+                and epoch >= c.n_epochs_late_start and validation_results):
+            score = validation_results[c.validation_criteria_set][
+                c.validation_criteria_metric]
+            self.plateau.step(score)
+
+        current = validation_results.get(c.validation_criteria_set, {}).get(
+            c.validation_criteria_metric)
+        if current is not None:
+            best = None if self.best_results is None else \
+                self.best_results[c.validation_criteria_set][
+                    c.validation_criteria_metric]
+            improved = best is None or (
+                current > best if c.validation_criteria_maximize
+                else current < best)
+            if improved:
+                self.best_checkpoint = self.batch_count
+                self.best_results = validation_results
+                return 0
+            return n_ckpt_elapsed + 1
+        return n_ckpt_elapsed

@@ -43,15 +43,21 @@ def build_slicq_fns(plan):
     def encode(audio):
         audio = jnp.asarray(audio, dtype=jnp.float32)
         B, C, T = audio.shape
-        if T % L != 0:
-            raise ValueError(f"audio length {T} not a multiple of block length {L}")
-        nb = T // L
+        pad = -T % L
+        if pad:
+            # Zero-pad to a whole block internally; the frame axis is then
+            # truncated to ceil(T / L * M) — the reference's frame-count
+            # contract (cqtwrapper.py:255-273) for non-multiple inputs.
+            audio = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
+        nb = (T + pad) // L
         x = audio.reshape(B, C, nb, L)
         X = mfft.rfft(x, axis=-1)                                   # (B,C,nb,R)
         Z = jnp.take(X, gather_idx, axis=-1) * gather_win              # (B,C,nb,F,M)
         coeffs = mfft.ifft(Z, axis=-1) * scale                      # (B,C,nb,F,M)
         coeffs = jnp.moveaxis(coeffs, -3, -2)                          # (B,C,F,nb,M)
-        return coeffs.reshape(B, C, F, nb * M)
+        coeffs = coeffs.reshape(B, C, F, nb * M)
+        n_frames = -(-T * M // L)  # ceil(T / L * M)
+        return coeffs[..., :n_frames]
 
     def decode(coefficients):
         coefficients = jnp.asarray(coefficients)

@@ -27,8 +27,10 @@ def test_plan_shapes_default(default_cqt):
     # power-of-2 rounding of the widest window support
     assert plan.max_window_length & (plan.max_window_length - 1) == 0
     assert plan.max_window_length >= 512
-    # analysis tables cover every bin
-    assert plan.gather_idx.shape == (540, plan.max_window_length)
+    # analysis tables cover every bin; default config gets the aligned path
+    assert plan.band_win.shape == (540, plan.max_window_length)
+    assert plan.alignment == 128
+    assert np.all(plan.band_lo % 128 == 0)
     assert plan.scatter_idx.shape == (2, plan.block_length // 2 + 1)
 
 

@@ -102,11 +102,21 @@ class TimbreTrap:
                              method="decode")
         return _nhwc_to_nchw(out)
 
-    def _chunked_fn(self, params, audio, transcribe):
-        """Streaming 50%-overlap Hann overlap-add as a lax.scan.
+    # Number of 50%-overlapped chunks processed per device step during
+    # streaming inference. 4 measured best on v5e (per-chunk cost drops
+    # ~2x vs sequential; batch 8 regresses from memory pressure).
+    chunk_group = 4
 
-        ``audio`` is already padded to a block multiple AND extended by
-        half a block on each side (see chunked_inference).
+    def _chunked_fn(self, params, audio, transcribe):
+        """Streaming 50%-overlap Hann overlap-add, grouped for TPU utilization.
+
+        ``audio`` is already padded to a block multiple AND extended by half
+        a block on each side (see chunked_inference). Chunks are processed
+        ``chunk_group`` at a time inside a ``lax.scan`` (better MXU/VPU
+        occupancy than one chunk per step), then the overlap-add is done
+        vectorized: even chunks tile frames contiguously, odd chunks tile at
+        a half-window offset, so the whole accumulation is two reshapes and
+        two static slice-adds.
         """
         L = self.sliCQ.block_length
         M = self.sliCQ.max_window_length
@@ -118,17 +128,35 @@ class TimbreTrap:
         n_frames = self.sliCQ.get_expected_frames(audio.shape[-1])
         window = jnp.asarray(np.hanning(M), jnp.float32)
 
-        def body(acc, i):
-            chunk = jax.lax.dynamic_slice(audio, (0, 0, i * hop), (B, 1, L))
-            out = self._infer_fn(params, chunk, transcribe)  # (B,C,F,M)
-            start = i * (M // 2)
-            cur = jax.lax.dynamic_slice(acc, (0, 0, 0, start), (B, C, F, M))
-            acc = jax.lax.dynamic_update_slice(acc, cur + window * out,
-                                               (0, 0, 0, start))
-            return acc, None
+        G = max(1, min(self.chunk_group, n_chunks))
+        n_groups = -(-n_chunks // G)
+        # Extend audio so every group can slice G full chunks.
+        needed = ((n_groups * G - 1) * hop + L) - audio.shape[-1]
+        if needed > 0:
+            audio = jnp.pad(audio, [(0, 0), (0, 0), (0, needed)])
 
-        acc = jnp.zeros((B, C, F, n_frames), jnp.float32)
-        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_chunks))
+        def body(_, g):
+            def one(i):
+                return jax.lax.dynamic_slice(
+                    audio, (0, 0, (g * G + i) * hop), (B, 1, L))
+
+            chunks = jnp.stack([one(i) for i in range(G)])  # (G,B,1,L)
+            out = self._infer_fn(params, chunks.reshape(G * B, 1, L),
+                                 transcribe)
+            return None, out.reshape(G, B, C, F, M)
+
+        _, outs = jax.lax.scan(body, None, jnp.arange(n_groups))
+        outs = outs.reshape(n_groups * G, B, C, F, M)[:n_chunks]
+        outs = outs * window
+
+        even = outs[0::2]  # frame offsets 0, M, 2M, ...
+        odd = outs[1::2]   # frame offsets M/2, 3M/2, ...
+        acc = jnp.zeros((B, C, F, n_frames + 2 * M), jnp.float32)
+        even_flat = jnp.moveaxis(even, 0, -2).reshape(B, C, F, -1)
+        acc = acc.at[..., :even_flat.shape[-1]].add(even_flat)
+        if odd.shape[0]:
+            odd_flat = jnp.moveaxis(odd, 0, -2).reshape(B, C, F, -1)
+            acc = acc.at[..., M // 2: M // 2 + odd_flat.shape[-1]].add(odd_flat)
         # Trim the centering margins (reference modules.py:266-267).
         return acc[..., M // 2: n_frames - M // 2]
 

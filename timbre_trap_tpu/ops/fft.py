@@ -28,7 +28,10 @@ from jax import lax
 
 __all__ = ["fft", "ifft", "rfft", "irfft"]
 
-MAX_LEAF = 512
+# Largest DFT computed as a single dense matmul. 1024 keeps the whole
+# coefficient-axis FFT (M = 1024) in ONE MXU matmul — measured faster on
+# v5e than a 32x32 Cooley-Tukey split (1.21 ms vs 1.68 ms at (540, 1024)).
+MAX_LEAF = 1024
 _PRECISION = lax.Precision.HIGHEST
 
 

@@ -73,10 +73,14 @@ class SlicqPlan:
     n_bins: int
     max_window_length: int
     n_rfft: int
-    # Analysis: coefficients[k, m] gathers spectrum bin gather_idx[k, m]
-    # weighted by gather_win[k, m] (zero where there is no support).
-    gather_idx: np.ndarray = field(repr=False)  # (F, M) int32
-    gather_win: np.ndarray = field(repr=False)  # (F, M) float32
+    # Analysis (TPU-fast path): every bin reads a CONTIGUOUS spectrum band
+    # [band_lo_k, band_lo_k + M) — 128-aligned when alignment == 128 — and
+    # the mod-M aliasing roll is folded into a post-IFFT phase ramp:
+    #   c_k = IFFT_M(X[lo_k : lo_k+M] * band_win_k) * band_phase_k
+    band_lo: np.ndarray = field(repr=False)      # (F,) int32, aligned starts
+    band_win: np.ndarray = field(repr=False)     # (F, M) float32
+    band_phase: np.ndarray = field(repr=False)   # (F, M) complex64 (incl. scale)
+    alignment: int  # lane alignment of band_lo (128 on TPU-friendly configs)
     # Synthesis: spectrum[f] = sum_{s in 0,1} Z.flat[scatter_idx[s, f]] * scatter_dual[s, f]
     # where Z is the (F, M) forward FFT of the coefficients.
     scatter_idx: np.ndarray = field(repr=False)  # (2, R) int32 into flattened (F*M)
@@ -155,9 +159,21 @@ def design_slicq(sample_rate, n_octaves, bins_per_octave, block_length,
             w[fall] = np.cos(0.5 * np.pi * (f[fall] - center) / denom)
         return w
 
-    # --- Analysis gather tables -------------------------------------------
-    gather_idx = np.zeros((n_bins, M), dtype=np.int64)
-    gather_win = np.zeros((n_bins, M), dtype=np.float64)
+    # --- Analysis band tables (contiguous slices + phase ramp) -------------
+    # Align band starts DOWN to the TPU lane width when the window-length
+    # slack allows it (support + 127 <= M) — then the per-bin spectrum read
+    # is a 128-aligned contiguous slice, which XLA/Mosaic move at full
+    # bandwidth instead of an elementwise gather.
+    alignment = 128 if (max_support + 127 <= M and M % 128 == 0) else 1
+    band_lo = (lo // alignment) * alignment
+    band_lo = np.maximum(band_lo, 0)
+    if np.any(hi - band_lo + 1 > M):
+        raise AssertionError("aligned band exceeds window length")
+
+    band_win = np.zeros((n_bins, M), dtype=np.float64)
+    # Phase ramp undoing the mod-M alias roll: IFFT of the rolled band equals
+    # IFFT of the un-rolled band times exp(2i*pi*lo*n/M); fold in the
+    # coefficient scale too. (scale defined below.)
     # --- Synthesis tables: per spectrum bin, up to 2 contributing windows --
     contrib_idx = [[] for _ in range(n_rfft)]
     contrib_dual = [[] for _ in range(n_rfft)]
@@ -168,8 +184,7 @@ def design_slicq(sample_rate, n_octaves, bins_per_octave, block_length,
         f = np.arange(lo[k], hi[k] + 1)
         w = window_value(k, f)
         m = np.mod(f, M)  # alias position inside the length-M coefficient FFT
-        gather_idx[k, m] = f
-        gather_win[k, m] = w
+        band_win[k, f - band_lo[k]] = w
         nz = w > 0.0
         for fi, mi, wi in zip(f[nz], m[nz], w[nz]):
             contrib_idx[fi].append(k * M + mi)
@@ -202,6 +217,10 @@ def design_slicq(sample_rate, n_octaves, bins_per_octave, block_length,
     # autoencoder's regression targets O(1).
     scale = 2.0 * M / block_length
 
+    n_idx = np.arange(M)
+    ang = 2.0 * np.pi * np.outer(np.mod(band_lo, M), n_idx) / M
+    band_phase = (scale * np.exp(1j * ang)).astype(np.complex64)
+
     return SlicqPlan(
         sample_rate=float(sample_rate),
         n_octaves=int(n_octaves),
@@ -210,8 +229,10 @@ def design_slicq(sample_rate, n_octaves, bins_per_octave, block_length,
         n_bins=int(n_bins),
         max_window_length=int(M),
         n_rfft=int(n_rfft),
-        gather_idx=gather_idx.astype(np.int32),
-        gather_win=gather_win.astype(np.float32),
+        band_lo=band_lo.astype(np.int32),
+        band_win=band_win.astype(np.float32),
+        band_phase=band_phase,
+        alignment=int(alignment),
         scatter_idx=scatter_idx.astype(np.int32),
         scatter_dual=scatter_dual.astype(np.float32),
         center_freqs_hz=center_freqs,

@@ -120,3 +120,48 @@ def test_data_parallel_matches_single_device(tiny_model, rng):
     flat8 = jax.tree.leaves(p8)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["film", "magdb"])
+def test_train_step_variants(variant, rng):
+    """FiLM and dB-magnitude model families must train end-to-end too."""
+    from timbre_trap_tpu.models import TimbreTrapFiLM, TimbreTrapMagDB
+
+    cls = {"film": TimbreTrapFiLM, "magdb": TimbreTrapMagDB}[variant]
+    model = cls(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                secs_per_block=0.5, latent_size=16, model_complexity=1)
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step = jax.jit(make_train_step(model, cfg, mpe_batch_size=1))
+    params, opt_state = init_train_state(model, cfg)
+    audio, gt = _fake_batch(model, 1, 1, rng)
+    losses = []
+    for _ in range(3):
+        params, opt_state, metrics = step(params, opt_state, audio, gt, 1e-3)
+        losses.append(float(metrics["loss/total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_skip_connections(rng):
+    from timbre_trap_tpu.models import TimbreTrap
+
+    model = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                       secs_per_block=0.5, latent_size=16, model_complexity=1,
+                       skip_connections=True)
+    cfg = TrainConfig(multiplier_consistency=0.0)
+    step = jax.jit(make_train_step(model, cfg, mpe_batch_size=1))
+    params, opt_state = init_train_state(model, cfg)
+    audio, gt = _fake_batch(model, 1, 1, rng)
+    params, _, metrics = step(params, opt_state, audio, gt, 1e-3)
+    assert np.isfinite(float(metrics["loss/total"]))
+    # the learnable skip weights must receive gradient updates
+    assert not np.allclose(np.asarray(params["skip_weights"]), 1.0)
+
+
+def test_nan_debugging_toggle():
+    from timbre_trap_tpu.utils import enable_nan_debugging
+
+    enable_nan_debugging(True)
+    with pytest.raises(FloatingPointError):
+        jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
+    enable_nan_debugging(False)

@@ -22,6 +22,12 @@ _INT_PEAKS = {np.dtype(np.int16): 32768.0,
               np.dtype(np.uint8): 128.0}
 
 
+def _use_native():
+    # The C++ decoder/resampler runs outside the GIL in loader threads;
+    # set TT_TPU_NATIVE_AUDIO=0 to force the numpy/scipy path.
+    return os.environ.get("TT_TPU_NATIVE_AUDIO", "1") != "0"
+
+
 def _decode_wav(path):
     fs, data = scipy.io.wavfile.read(path, mmap=False)
     data = np.asarray(data)
@@ -52,6 +58,15 @@ def load_audio(path, sample_rate=None, mono=True, normalize=True):
     """
     ext = os.path.splitext(path)[-1].lower()
     if ext in (".wav", ".wave"):
+        if mono and _use_native():
+            from . import native
+
+            if native.available():
+                try:
+                    return native.load_audio_native(
+                        path, sample_rate=sample_rate, normalize=normalize)
+                except RuntimeError:
+                    pass  # fall back to the numpy decoder
         audio, fs = _decode_wav(path)
     else:
         raise ValueError(

@@ -47,6 +47,8 @@ class CQT:
         self._encode, self._decode = build_slicq_fns(self.plan)
         self._encode_jit = jax.jit(self._encode)
         self._decode_jit = jax.jit(self._decode)
+        self._decode_real_jit = jax.jit(self._decode_real)
+        self._decode_complex_jit = jax.jit(self._decode_normalized)
 
     # ------------------------------------------------------------------ #
     # Core transform                                                     #
@@ -75,6 +77,23 @@ class CQT:
 
     __call__ = forward
 
+    def _decode_normalized(self, coefficients):
+        """Complex (B,1,F,T) -> audio with infinity-norm normalization
+        (cqtwrapper.py:209-211). Runs fully inside one jit."""
+        audio = self._decode(jax.lax.stop_gradient(coefficients))
+        peak = jnp.max(jnp.abs(audio))
+        return jnp.where(peak > 0, audio / peak, audio)
+
+    def _decode_real(self, coefficients):
+        """Real (B,2,F,T) -> audio; complex conversion fused into the jit.
+
+        Complex arrays cannot cross the host<->device boundary on this TPU
+        runtime, and eager complex ops on large arrays are slow — so the
+        whole real->complex->synthesis->normalize chain is one program.
+        """
+        complex_coeffs = self.to_complex(coefficients)[:, None]
+        return self._decode_normalized(complex_coeffs)
+
     def decode(self, coefficients):
         """Coefficients (B x 2 [real] OR B x 1 [complex] x F x T) -> audio (B x 1 x T).
 
@@ -82,12 +101,9 @@ class CQT:
         (``cqtwrapper.py:209-211``).
         """
         coefficients = jnp.asarray(coefficients)
-        if not jnp.issubdtype(coefficients.dtype, jnp.complexfloating):
-            coefficients = self.to_complex(coefficients)[:, None]
-        audio = self._decode_jit(jax.lax.stop_gradient(coefficients))
-        peak = jnp.max(jnp.abs(audio))
-        audio = jnp.where(peak > 0, audio / peak, audio)
-        return audio
+        if jnp.issubdtype(coefficients.dtype, jnp.complexfloating):
+            return self._decode_complex_jit(coefficients)
+        return self._decode_real_jit(coefficients)
 
     # ------------------------------------------------------------------ #
     # Coefficient conversions (pure, differentiable)                     #

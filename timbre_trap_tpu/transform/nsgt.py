@@ -53,6 +53,13 @@ def build_slicq_fns(plan):
         chunk_idx = ((plan.band_lo[:, None] // A)
                      + np.arange(M // A)[None, :]).reshape(-1)
         chunk_idx = chunk_idx.astype(np.int32)               # (F * M/A,)
+        # Synthesis: scatter-add of windowed bands into the spectrum as a
+        # ONE-HOT MATMUL over aligned chunks (both elementwise gathers of
+        # the table formulation measured ~0.5 s/minute of audio on TPU).
+        onehot = np.zeros((S // A, F * (M // A)), np.float32)
+        onehot[chunk_idx, np.arange(F * (M // A))] = 1.0
+        inv_phase = (np.conj(plan.band_phase)
+                     / np.float32(plan.scale) ** 2).astype(np.complex64)
     else:
         # Fallback (small test configs): plain elementwise gather.
         S = int(plan.band_lo.max()) + M
@@ -100,10 +107,23 @@ def build_slicq_fns(plan):
         nb = Tf // M
         c = coefficients.reshape(B, C, F, nb, M)
         c = jnp.moveaxis(c, -2, -3)                                    # (B,C,nb,F,M)
-        Z = mfft.fft(c, axis=-1) * inv_scale
-        Zf = Z.reshape(B, C, nb, F * M)
-        X = (jnp.take(Zf, scatter_idx[0], axis=-1) * scatter_dual[0]
-             + jnp.take(Zf, scatter_idx[1], axis=-1) * scatter_dual[1])  # (B,C,nb,R)
+        if A > 1:
+            # Band formulation: undo the phase ramp, forward-FFT back to the
+            # un-rolled band representation, window with the (self-dual)
+            # analysis window, and accumulate aligned chunks into the
+            # spectrum via a dense one-hot matmul (MXU, no scatter/gather).
+            y = mfft.fft(c * inv_phase, axis=-1) * band_win            # (B,C,nb,F,M)
+            ych = y.reshape(B, C, nb, F * (M // A), A)
+            Xr = jnp.einsum("sc,...ca->...sa", onehot, jnp.real(ych),
+                            precision=jax.lax.Precision.HIGHEST)
+            Xi = jnp.einsum("sc,...ca->...sa", onehot, jnp.imag(ych),
+                            precision=jax.lax.Precision.HIGHEST)
+            X = jax.lax.complex(Xr, Xi).reshape(B, C, nb, S)[..., :R]
+        else:
+            Z = mfft.fft(c, axis=-1) * inv_scale
+            Zf = Z.reshape(B, C, nb, F * M)
+            X = (jnp.take(Zf, scatter_idx[0], axis=-1) * scatter_dual[0]
+                 + jnp.take(Zf, scatter_idx[1], axis=-1) * scatter_dual[1])
         x = mfft.irfft(X, n=L, axis=-1)                             # (B,C,nb,L)
         return x.reshape(B, C, nb * L).astype(jnp.float32)
 

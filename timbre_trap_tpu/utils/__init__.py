@@ -1,5 +1,6 @@
 from .processing import to_array, debug_nans, filter_non_peaks, threshold
-from .experiments import seed_everything, print_and_log, MultipitchEvaluator
+from .experiments import (seed_everything, print_and_log,
+                          enable_nan_debugging, MultipitchEvaluator)
 
 __all__ = [
     "to_array",
@@ -8,5 +9,6 @@ __all__ = [
     "threshold",
     "seed_everything",
     "print_and_log",
+    "enable_nan_debugging",
     "MultipitchEvaluator",
 ]

@@ -16,7 +16,22 @@ import numpy as np
 
 from ..eval import multipitch as mp_metrics
 
-__all__ = ["seed_everything", "print_and_log", "MultipitchEvaluator"]
+__all__ = ["seed_everything", "print_and_log", "enable_nan_debugging",
+           "MultipitchEvaluator"]
+
+
+def enable_nan_debugging(enabled=True):
+    """Make every jitted computation fail loudly on NaN/Inf.
+
+    The TPU-native equivalent of the reference's always-on
+    ``torch.autograd.set_detect_anomaly(True)`` (train.py:362) and
+    ``debug_nans`` helper (utils/processing.py:36-63): JAX re-runs the
+    offending primitive un-jitted and points at it.
+    """
+    import jax
+
+    jax.config.update("jax_debug_nans", enabled)
+    jax.config.update("jax_debug_infs", enabled)
 
 
 def seed_everything(seed):

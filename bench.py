@@ -31,15 +31,20 @@ def main():
     audio = (audio + 0.01 * rng.standard_normal(t.shape))[None, None, :]
     audio = audio.astype(np.float32)
 
-    # Warm-up / compile
-    acts = model.transcribe(audio)
-    acts.block_until_ready()
+    import jax.numpy as jnp
+
+    def run_once():
+        acts = model.transcribe(audio)
+        # NOTE: block_until_ready is not a reliable sync on the tunneled TPU
+        # runtime; a scalar device reduction + host fetch forces execution.
+        return float(jnp.sum(acts))
+
+    run_once()  # warm-up / compile
 
     n_iters = 3
     start = time.perf_counter()
     for _ in range(n_iters):
-        acts = model.transcribe(audio)
-        acts.block_until_ready()
+        run_once()
     elapsed = (time.perf_counter() - start) / n_iters
 
     rtf = seconds / elapsed

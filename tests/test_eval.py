@@ -126,3 +126,15 @@ def test_filter_non_peaks_edges():
     out = filter_non_peaks(col)
     assert out[0, 0] == 0.9  # edge peak vs implicit zero row
     assert out[2, 0] == 0.8
+
+
+def test_device_peak_mask_matches_numpy(rng):
+    """ops.peaks (XLA) and the Pallas kernel (interpret) must match the
+    numpy post-process exactly."""
+    from timbre_trap_tpu.ops.peaks import peak_mask
+    from timbre_trap_tpu.ops.pallas_kernels import peak_mask_pallas
+
+    a = rng.uniform(size=(2, 60, 300)).astype(np.float32)
+    ref = threshold(filter_non_peaks(a), 0.5).astype(np.uint8)
+    assert np.array_equal(np.asarray(peak_mask(a)), ref)
+    assert np.array_equal(np.asarray(peak_mask_pallas(a, interpret=True)), ref)

@@ -4,6 +4,12 @@ Per track: full-length forward pass, transcription activations ->
 peak-picked multi-pitch -> metric suite; reconstruction SDR via the
 projection-filter SDR; loss accounting; optional TensorBoard logging of
 scalars and coefficient images.
+
+Device-centric by design: losses are reduced to scalars on the
+accelerator and predictions leave the device as a bit-sized binary mask —
+full-resolution activations/coefficients are only downloaded when the
+TensorBoard writer needs images. (Host downloads are the eval bottleneck
+on tunneled TPU runtimes.)
 """
 
 import warnings
@@ -18,6 +24,7 @@ from ..models import TimbreTrapMag
 from ..objectives import (compute_consistency_loss,
                           compute_reconstruction_loss,
                           compute_transcription_loss)
+from ..ops.peaks import peak_mask
 from ..transform.design import midi_to_hz
 from ..utils import MultipitchEvaluator, to_array
 from .multipitch import MAX_FREQ
@@ -44,7 +51,7 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
     for data in eval_set:
         track = data[constants.KEY_TRACK]
         audio = np.asarray(data[constants.KEY_AUDIO])[None]  # (1, 1, N)
-        targets = np.asarray(data[constants.KEY_GROUND_TRUTH])[None]
+        targets_np = np.asarray(data[constants.KEY_GROUND_TRUTH])[None]
 
         if isinstance(eval_set, NoteDataset):
             times_ref = data[constants.KEY_TIMES]
@@ -57,26 +64,30 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
 
         audio = np.asarray(model.sliCQ.pad_to_block_length(audio))
 
-        # Feature/target coefficients (variant-aware, NCHW-like layout).
-        features = to_array(model.features_from_audio(audio))
-        coefficients = np.moveaxis(features, -1, 1)
+        # Device-resident feature/target coefficients (variant-aware).
+        # Jitted: complex intermediates only exist inside compiled programs
+        # (eager complex ops are unimplemented on some TPU runtimes).
+        features = model._features_jit(jnp.asarray(audio))
+        coefficients = jnp.moveaxis(features, -1, 1)
 
         reconstruction, latents, transcription_coeffs, trn_rec, trn_scr, \
             losses = model.forward(audio, bool(multipliers["consistency"]))
 
         transcription = model.to_activations(transcription_coeffs)
-        activations = to_array(transcription)[0]
 
         times_est = model.sliCQ.get_times(
             model.sliCQ.get_expected_frames(audio.shape[-1]))
 
-        if np.sum(activations[valid_freqs]):
+        # Peak-pick + threshold on device; download only the binary mask.
+        mask = to_array(peak_mask(transcription))[0].astype(np.float64)
+
+        if np.sum(mask[valid_freqs]):
             warnings.warn("Positive activations were generated for "
                           "invalid frequencies.", RuntimeWarning)
-            activations[valid_freqs] = 0
+            mask[valid_freqs] = 0
 
         multi_pitch_est = PitchDataset.activations_to_multi_pitch(
-            activations, model.sliCQ.midi_freqs, peaks_only=True)
+            mask, model.sliCQ.midi_freqs, peaks_only=False)
 
         results = evaluator.evaluate(times_est, multi_pitch_est,
                                      times_ref, multi_pitch_ref)
@@ -87,21 +98,23 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
             sdr = signal_distortion_ratio(synth, audio)
             evaluator.append_results({"reconstruction/SDR": sdr})
 
+        # --- device-side loss accounting (scalars only leave the device) --
         reconstruction_loss = float(compute_reconstruction_loss(
-            jnp.asarray(to_array(reconstruction)), jnp.asarray(coefficients)))
+            reconstruction, coefficients))
 
-        n_pad = len(times_est) - targets.shape[-1]
-        targets = np.pad(targets, [(0, 0), (0, 0), (0, n_pad)])
+        n_pad = len(times_est) - targets_np.shape[-1]
+        targets = jnp.asarray(np.pad(targets_np,
+                                     [(0, 0), (0, 0), (0, n_pad)]))
         transcription_loss = float(compute_transcription_loss(
-            jnp.asarray(to_array(transcription)), jnp.asarray(targets), True))
+            transcription, targets, True))
 
         total_loss = (multipliers["reconstruction"] * reconstruction_loss
                       + multipliers["transcription"] * transcription_loss)
 
         if multipliers["consistency"]:
-            consistency_loss = float(sum(compute_consistency_loss(
-                jnp.asarray(to_array(trn_rec)), jnp.asarray(to_array(trn_scr)),
-                jnp.asarray(to_array(transcription_coeffs)))))
+            loss_sp, loss_sc = compute_consistency_loss(
+                trn_rec, trn_scr, transcription_coeffs)
+            consistency_loss = float(loss_sp) + float(loss_sc)
             evaluator.append_results({"loss/consistency": consistency_loss})
             total_loss += multipliers["consistency"] * consistency_loss
 
@@ -112,8 +125,7 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
         evaluator.append_results({"loss/reconstruction": reconstruction_loss,
                                   "loss/transcription": transcription_loss,
                                   "loss/total": total_loss})
-        last_vis = (coefficients, to_array(reconstruction),
-                    to_array(transcription), targets)
+        last_vis = (coefficients, reconstruction, transcription, targets)
 
     average_results, _ = evaluator.average_results()
 
@@ -121,17 +133,17 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
         for key, value in average_results.items():
             writer.add_scalar(f"{eval_set.name()}/{key}", value, i)
         if last_vis is not None:
+            # Full-resolution downloads happen only here, for the images.
             coefficients, reconstruction, transcription, targets = last_vis
             from ..transform import CQT
 
-            feats_db = to_array(CQT.to_decibels(CQT.to_magnitude(
-                jnp.asarray(coefficients))))
+            feats_db = to_array(CQT.to_decibels(CQT.to_magnitude(coefficients)))
             recon_db = to_array(CQT.to_decibels(CQT.to_magnitude(
                 jnp.asarray(reconstruction))))
             for tag, img in (("magnitude CQT", feats_db),
                              ("reconstruction", recon_db),
-                             ("ground-truth", targets),
-                             ("transcription", transcription)):
+                             ("ground-truth", to_array(targets)),
+                             ("transcription", to_array(transcription))):
                 pooled = _avg_pool_time(np.asarray(img))
                 writer.add_image(f"{eval_set.name()}/vis/{tag}",
                                  pooled[..., ::-1, :][0][None], i)

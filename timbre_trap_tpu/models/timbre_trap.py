@@ -54,6 +54,7 @@ class TimbreTrap:
         dummy = jnp.zeros((1, self.sliCQ.n_bins, 4, self.net.in_channels), jnp.float32)
         self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
 
+        self._features_jit = jax.jit(self.features_from_audio)
         self._encode_jit = jax.jit(self._encode_fn)
         self._decode_jit = jax.jit(self._decode_fn, static_argnums=3)
         self._forward_jit = jax.jit(self._forward_fn, static_argnums=2)

@@ -164,3 +164,17 @@ def test_encode_decode_roundtrip_api(tiny_model, rng):
     assert latents.shape[0:2] == (2, 32)
     coeffs = m.decode(latents, None, transcribe=False)
     assert coeffs.shape == (2, 2, m.sliCQ.n_bins, m.sliCQ.max_window_length)
+
+
+def test_model_save_load(tiny_model, tmp_path, rng):
+    m = tiny_model
+    path = m.save(str(tmp_path / "ckpt"))
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m2 = TimbreTrap.load(path)
+    assert m2.hparams == m.hparams
+    L = m.sliCQ.block_length
+    audio = rng.standard_normal((1, 1, L)).astype(np.float32)
+    a1 = np.asarray(m.inference(audio, True))
+    a2 = np.asarray(m2.inference(audio, True))
+    np.testing.assert_array_equal(a1, a2)

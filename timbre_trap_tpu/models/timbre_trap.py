@@ -42,6 +42,13 @@ class TimbreTrap:
     def __init__(self, sample_rate, n_octaves, bins_per_octave, secs_per_block=3,
                  latent_size=None, model_complexity=1, skip_connections=False,
                  seed=0):
+        self.hparams = dict(sample_rate=sample_rate, n_octaves=n_octaves,
+                            bins_per_octave=bins_per_octave,
+                            secs_per_block=secs_per_block,
+                            latent_size=latent_size,
+                            model_complexity=model_complexity,
+                            skip_connections=skip_connections,
+                            variant=self.variant)
         self.sliCQ = CQT(n_octaves=n_octaves,
                          bins_per_octave=bins_per_octave,
                          sample_rate=sample_rate,
@@ -223,6 +230,40 @@ class TimbreTrap:
         """Audio (B,1,N) -> resynthesized audio (B,1,N')."""
         coefficients = self.chunked_inference(audio_in, False)
         return self.sliCQ.decode(coefficients)
+
+    # ------------------------------------------------------------------ #
+    # Persistence (torch.save/torch.load-style UX over orbax)            #
+    # ------------------------------------------------------------------ #
+
+    def save(self, path):
+        """Save hyperparameters + weights under a directory."""
+        import json
+        import os
+
+        from ..train.checkpoint import save_checkpoint
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "hparams.json"), "w") as fh:
+            json.dump(self.hparams, fh, indent=2)
+        save_checkpoint(os.path.join(path, "weights"), self.params)
+        return path
+
+    @staticmethod
+    def load(path, seed=0):
+        """Rebuild a saved model (any variant) from :meth:`save` output."""
+        import json
+        import os
+
+        from ..train.checkpoint import load_checkpoint
+
+        with open(os.path.join(path, "hparams.json")) as fh:
+            hparams = json.load(fh)
+        variant = hparams.pop("variant", "base")
+        cls = {"base": TimbreTrap, "film": TimbreTrapFiLM,
+               "mag": TimbreTrapMag, "magdb": TimbreTrapMagDB}[variant]
+        model = cls(seed=seed, **hparams)
+        model.params = load_checkpoint(os.path.join(path, "weights"))["params"]
+        return model
 
 
 class TimbreTrapFiLM(TimbreTrap):

@@ -20,7 +20,7 @@ from timbre_trap_tpu.data import constants
 from timbre_trap_tpu.data.pitch import PitchDataset
 from timbre_trap_tpu.eval import MAX_FREQ
 from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_checkpoint
+from timbre_trap_tpu.train import load_params
 from timbre_trap_tpu.transform import CQT
 from timbre_trap_tpu.transform.design import midi_to_hz
 from timbre_trap_tpu.utils import MultipitchEvaluator, print_and_log, to_array
@@ -94,7 +94,7 @@ def main():
         model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=9,
                            bins_per_octave=60, secs_per_block=3,
                            latent_size=128, model_complexity=2)
-        model.params = load_checkpoint(args.checkpoint)["params"]
+        model.params = load_params(args.checkpoint)
 
         def timbre_trap(data):
             audio = np.asarray(model.sliCQ.pad_to_block_length(

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from timbre_trap_tpu.eval.evaluation import evaluate  # noqa: F401 (re-export)
 from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_checkpoint
+from timbre_trap_tpu.train import load_params
 from timbre_trap_tpu.utils import print_and_log
 
 
@@ -34,8 +34,7 @@ def main():
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
                        bins_per_octave=args.bins_per_octave, secs_per_block=3,
                        latent_size=128, model_complexity=2)
-    state = load_checkpoint(args.checkpoint)
-    model.params = state["params"]
+    model.params = load_params(args.checkpoint)
 
     from timbre_trap_tpu.data.datasets.MixedMultiPitch import (
         URMP as URMP_Mixtures, Bach10 as Bach10_Mixtures, Su, TRIOS)

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from timbre_trap_tpu.data import constants
 from timbre_trap_tpu.data.io import save_wav
 from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_checkpoint
+from timbre_trap_tpu.train import load_params
 from timbre_trap_tpu.utils import to_array
 
 
@@ -33,8 +33,7 @@ def main():
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=9,
                        bins_per_octave=60, secs_per_block=3,
                        latent_size=128, model_complexity=2)
-    state = load_checkpoint(args.checkpoint)
-    model.params = state["params"]
+    model.params = load_params(args.checkpoint)
 
     if args.stems:
         from timbre_trap_tpu.data.datasets.SoloMultiPitch import Bach10

@@ -64,7 +64,8 @@ def main():
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
                        bins_per_octave=args.bins_per_octave, secs_per_block=3,
                        latent_size=128, model_complexity=2,
-                       skip_connections=False, seed=args.seed)
+                       skip_connections=False, seed=args.seed,
+                       remat=True)  # required to fit reference batch/crop on one chip
 
     if args.checkpoint_path is not None:
         state = load_checkpoint(args.checkpoint_path)

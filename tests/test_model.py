@@ -178,3 +178,40 @@ def test_model_save_load(tiny_model, tmp_path, rng):
     a1 = np.asarray(m.inference(audio, True))
     a2 = np.asarray(m2.inference(audio, True))
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True must be numerically identical to remat=False."""
+    F, T = 60, 16
+    net_a = TimbreTrapNet(feature_size=F, latent_size=16)
+    net_b = TimbreTrapNet(feature_size=F, latent_size=16, remat=True)
+    x = jnp.asarray(rng.standard_normal((2, F, T, 2)), jnp.float32)
+    params = net_a.init(jax.random.PRNGKey(0), x)["params"]
+    out_a = net_a.apply({"params": params}, x, True)
+    out_b = net_b.apply({"params": params}, x, True)  # same param tree!
+    for a, b in zip(out_a[:5], out_b[:5]):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    # gradients must flow and match closely
+    def loss(net):
+        def f(p):
+            rec, *_ = net.apply({"params": p}, x, False)
+            return jnp.sum(rec ** 2)
+        return jax.grad(f)(params)
+    ga, gb = loss(net_a), loss(net_b)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_remat_with_skips(rng):
+    F, T = 60, 8
+    net = TimbreTrapNet(feature_size=F, latent_size=16, remat=True,
+                        skip_connections=True)
+    x = jnp.asarray(rng.standard_normal((1, F, T, 2)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    out = net.apply({"params": params}, x, False)
+    assert out[0].shape == (1, F, T, 2)

@@ -78,13 +78,23 @@ class ResidualConv2dBlock(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """Three residual blocks (dilation 1,2,3) then a frequency-strided conv."""
+    """Three residual blocks (dilation 1,2,3) then a frequency-strided conv.
+
+    With ``nchw_boundary`` the block takes/returns (B, C, F, T) instead of
+    NHWC: when the block is rematerialized, the tensors saved for the
+    backward pass are then the NCHW boundary values, whose natural TPU
+    layout is padding-free — NHWC residuals with C<=4 get padded 16x on
+    the lane axis and blow out HBM at reference batch/crop sizes.
+    """
 
     out_channels: int
     stride: int = 2
+    nchw_boundary: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.nchw_boundary:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         in_channels = x.shape[-1]
         y = ResidualConv2dBlock(in_channels, 1, name="block1")(x)
         y = ResidualConv2dBlock(in_channels, 2, name="block2")(y)
@@ -92,7 +102,10 @@ class EncoderBlock(nn.Module):
         # Down-sample along frequency only: kernel (2s, 1), stride (s, 1), VALID.
         y = nn.Conv(self.out_channels, (2 * self.stride, 1),
                     strides=(self.stride, 1), padding="VALID", name="sconv")(y)
-        return nn.elu(y)
+        y = nn.elu(y)
+        if self.nchw_boundary:
+            y = jnp.transpose(y, (0, 3, 1, 2))
+        return y
 
 
 class DecoderBlock(nn.Module):
@@ -101,9 +114,12 @@ class DecoderBlock(nn.Module):
     out_channels: int
     stride: int = 2
     padding: int = 0  # output_padding along frequency
+    nchw_boundary: bool = False  # see EncoderBlock
 
     @nn.compact
     def __call__(self, x):
+        if self.nchw_boundary:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         y = ConvTranspose2dTorch(self.out_channels, (2 * self.stride, 1),
                                  strides=(self.stride, 1),
                                  output_padding=(self.padding, 0), name="tconv")(x)
@@ -111,6 +127,8 @@ class DecoderBlock(nn.Module):
         y = ResidualConv2dBlock(self.out_channels, 1, name="block1")(y)
         y = ResidualConv2dBlock(self.out_channels, 2, name="block2")(y)
         y = ResidualConv2dBlock(self.out_channels, 3, name="block3")(y)
+        if self.nchw_boundary:
+            y = jnp.transpose(y, (0, 3, 1, 2))
         return y
 
 
@@ -120,19 +138,25 @@ class Encoder(nn.Module):
     feature_size: int
     latent_size: Optional[int] = None
     model_complexity: int = 1
+    remat: bool = False
 
     @nn.compact
     def __call__(self, coefficients):
         channels = _channel_widths(self.model_complexity)
         latent = self.latent_size or default_latent_size(self.model_complexity)
         sizes, _ = embedding_sizes(self.feature_size)
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
 
         embeddings = []
         y = nn.elu(nn.Conv(channels[0], (3, 3), padding="SAME", name="convin")(coefficients))
         embeddings.append(y)
+        cur = jnp.transpose(y, (0, 3, 1, 2)) if self.remat else y
         for i in range(4):
-            y = EncoderBlock(channels[i + 1], stride=2, name=f"block{i + 1}")(embeddings[-1])
-            embeddings.append(y)
+            cur = block_cls(channels[i + 1], stride=2,
+                            nchw_boundary=self.remat, name=f"block{i + 1}")(cur)
+            embeddings.append(jnp.transpose(cur, (0, 2, 3, 1))
+                              if self.remat else cur)
+        y = embeddings[-1]
 
         # Collapse the remaining frequency extent into the latent dimension.
         latents = nn.Conv(latent, (sizes[-1], 1), padding="VALID", name="convlat")(embeddings[-1])
@@ -146,11 +170,13 @@ class Decoder(nn.Module):
     feature_size: int
     out_channels: int = 2
     model_complexity: int = 1
+    remat: bool = False
 
     @nn.compact
     def __call__(self, latents, encoder_embeddings=None):
         channels = _channel_widths(self.model_complexity)[::-1]
         sizes, paddings = embedding_sizes(self.feature_size)
+        block_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
 
         # Restore the frequency axis: (B, T, D) -> (B, 1, T, D).
         y = latents[:, None, :, :]
@@ -158,11 +184,18 @@ class Decoder(nn.Module):
         y = nn.elu(y)
         if encoder_embeddings is not None:
             y = y + encoder_embeddings[-1]
+        if self.remat:
+            y = jnp.transpose(y, (0, 3, 1, 2))
         for i in range(4):
-            y = DecoderBlock(channels[i + 1], stride=2, padding=paddings[i],
-                             name=f"block{i + 1}")(y)
+            y = block_cls(channels[i + 1], stride=2, padding=paddings[i],
+                          nchw_boundary=self.remat, name=f"block{i + 1}")(y)
             if encoder_embeddings is not None:
-                y = y + encoder_embeddings[-(i + 2)]
+                skip = encoder_embeddings[-(i + 2)]
+                if self.remat:
+                    skip = jnp.transpose(skip, (0, 3, 1, 2))
+                y = y + skip
+        if self.remat:
+            y = jnp.transpose(y, (0, 2, 3, 1))
         return nn.Conv(self.out_channels, (3, 3), padding="SAME", name="convout")(y)
 
 
@@ -195,6 +228,11 @@ class TimbreTrapNet(nn.Module):
     model_complexity: int = 1
     skip_connections: bool = False
     variant: str = "base"
+    # Rematerialize encoder/decoder blocks in the backward pass. Needed for
+    # flagship-config training: XLA pads the C<=4 residual activations 16x
+    # on the lane axis, so saving them all OOMs HBM at reference batch/crop
+    # sizes (~30% recompute cost; no effect on inference).
+    remat: bool = False
 
     @property
     def in_channels(self):
@@ -207,8 +245,10 @@ class TimbreTrapNet(nn.Module):
     def setup(self):
         if self.variant not in ("base", "film", "mag", "magdb"):
             raise ValueError(f"unknown variant {self.variant!r}")
-        self.encoder = Encoder(self.feature_size, self.latent_size, self.model_complexity)
-        self.decoder = Decoder(self.feature_size, self.in_channels, self.model_complexity)
+        self.encoder = Encoder(self.feature_size, self.latent_size,
+                               self.model_complexity, remat=self.remat)
+        self.decoder = Decoder(self.feature_size, self.in_channels,
+                               self.model_complexity, remat=self.remat)
         if self.skip_connections:
             # Learnable per-level skip weights, initialized to identity
             # (reference modules.py:61-66).

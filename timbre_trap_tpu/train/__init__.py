@@ -1,5 +1,5 @@
 from .schedules import cosine_warmup, PlateauDecay
-from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
+from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint, load_params
 from .loop import TrainerConfig, Trainer
 from .step import (
     TrainConfig,
@@ -16,6 +16,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "latest_checkpoint",
+    "load_params",
     "TrainerConfig",
     "Trainer",
     "TrainConfig",

@@ -12,7 +12,20 @@ import numpy as np
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "load_params"]
+
+
+def load_params(path):
+    """Extract a parameter tree from either checkpoint layout.
+
+    Accepts a trainer checkpoint directory (params + opt_state + step) or a
+    ``model.save`` directory (hparams.json + weights/).
+    """
+    weights_dir = os.path.join(path, "weights")
+    if os.path.isdir(weights_dir):
+        return load_checkpoint(weights_dir)["params"]
+    return load_checkpoint(path)["params"]
 
 
 def _to_host(tree):

@@ -1,0 +1,68 @@
+"""Tests for gradient telemetry and visualization utilities."""
+
+import numpy as np
+import pytest
+
+from timbre_trap_tpu.utils import (
+    average_gradient_norms,
+    get_max_gradient,
+    get_max_gradient_norm,
+    log_gradient_norms,
+    sum_gradient_norms,
+)
+
+
+@pytest.fixture()
+def grads():
+    return {"encoder": {"w": np.array([3.0, 4.0])},      # norm 5
+            "decoder": {"w": np.array([0.0, -2.0])}}     # norm 2
+
+
+def test_gradient_norm_stats(grads):
+    assert sum_gradient_norms(grads) == pytest.approx(7.0)
+    assert average_gradient_norms(grads) == pytest.approx(3.5)
+    assert get_max_gradient(grads) == pytest.approx(4.0)
+    assert get_max_gradient_norm(grads) == pytest.approx(5.0)
+
+
+def test_log_gradient_norms(grads):
+    logged = {}
+
+    class Writer:
+        def add_scalar(self, tag, value, step):
+            logged[tag] = (value, step)
+
+    log_gradient_norms(grads, Writer(), i=7)
+    assert logged["gradients/norm/encoder/w"] == (pytest.approx(5.0), 7)
+    assert logged["gradients/norm/decoder/w"] == (pytest.approx(2.0), 7)
+
+
+def test_empty_grads():
+    assert sum_gradient_norms({}) == 0.0
+    assert get_max_gradient({}) == 0.0
+    assert get_max_gradient_norm({}) == 0.0
+
+
+def test_plot_magnitude_saves(tmp_path, rng):
+    from timbre_trap_tpu.utils.visualization import plot_magnitude
+
+    mag = rng.uniform(size=(30, 50))
+    out = str(tmp_path / "mag.png")
+    fig = plot_magnitude(mag, extent=[0, 1, 20, 80], colorbar=True,
+                         save_path=out)
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(out) > 0
+
+
+def test_plot_latents_saves(tmp_path, rng):
+    from timbre_trap_tpu.utils.visualization import plot_latents
+
+    latents = rng.standard_normal((12, 8)).astype(np.float32)
+    labels = ["violin"] * 6 + ["cello"] * 6
+    out = str(tmp_path / "latents.pdf")
+    plot_latents(latents, labels, save_path=out)
+    import os
+
+    assert os.path.getsize(out) > 0

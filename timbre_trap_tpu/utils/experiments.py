@@ -17,6 +17,8 @@ import numpy as np
 from ..eval import multipitch as mp_metrics
 
 __all__ = ["seed_everything", "print_and_log", "enable_nan_debugging",
+           "sum_gradient_norms", "average_gradient_norms", "get_max_gradient",
+           "get_max_gradient_norm", "log_gradient_norms",
            "MultipitchEvaluator"]
 
 
@@ -53,6 +55,50 @@ def print_and_log(text, path=None):
     if path is not None:
         with open(path, "a") as f:
             print(text, file=f)
+
+
+def _leaf_norms(grads):
+    """(path, L2 norm) per parameter leaf of a gradient pytree."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        out.append((name, float(np.linalg.norm(np.asarray(leaf).ravel()))))
+    return out
+
+
+def sum_gradient_norms(grads):
+    """Cumulative L2 gradient norm across all parameter leaves
+    (reference utils/experiments.py:144-169, for pytrees)."""
+    return float(sum(n for _, n in _leaf_norms(grads)))
+
+
+def average_gradient_norms(grads):
+    """Average per-leaf L2 gradient norm (reference :172-202)."""
+    norms = [n for _, n in _leaf_norms(grads)]
+    return float(sum(norms) / max(len(norms), 1))
+
+
+def get_max_gradient(grads):
+    """Maximum absolute gradient entry over all leaves (reference :205-228)."""
+    import jax
+
+    leaves = jax.tree.leaves(grads)
+    return float(max((np.abs(np.asarray(g)).max() for g in leaves),
+                     default=0.0))
+
+
+def get_max_gradient_norm(grads):
+    """Maximum per-leaf L2 gradient norm (reference :231-256)."""
+    return float(max((n for _, n in _leaf_norms(grads)), default=0.0))
+
+
+def log_gradient_norms(grads, writer, i=0, prefix="gradients/norm"):
+    """Log every leaf's gradient norm to TensorBoard (reference :259-280)."""
+    for name, norm in _leaf_norms(grads):
+        writer.add_scalar(f"{prefix}/{name}", norm, i)
 
 
 class MultipitchEvaluator:

@@ -165,3 +165,27 @@ def test_nan_debugging_toggle():
     with pytest.raises(FloatingPointError):
         jax.jit(lambda x: jnp.log(x))(jnp.float32(-1.0)).block_until_ready()
     enable_nan_debugging(False)
+
+
+def test_remat_train_step_matches_plain(rng):
+    """The NCHW remat training path must produce identical losses/updates."""
+    kw = dict(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+              secs_per_block=0.5, latent_size=16, model_complexity=1)
+    m_plain = TimbreTrap(**kw)
+    m_remat = TimbreTrap(**kw, remat=True)
+    m_remat.params = m_plain.params  # identical weights (same tree structure)
+
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step_a = jax.jit(make_train_step(m_plain, cfg, mpe_batch_size=2))
+    step_b = jax.jit(make_train_step(m_remat, cfg, mpe_batch_size=2))
+    params, opt = init_train_state(m_plain, cfg)
+    audio, gt = _fake_batch(m_plain, 2, 2, rng)
+
+    pa, _, ma = step_a(params, opt, audio, gt, 1e-3)
+    pb, _, mb = step_b(params, opt, audio, gt, 1e-3)
+    for key in ("loss/total", "loss/reconstruction", "loss/transcription",
+                "loss/consistency/spectral"):
+        assert float(ma[key]) == pytest.approx(float(mb[key]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)

@@ -147,16 +147,27 @@ class Encoder(nn.Module):
         sizes, _ = embedding_sizes(self.feature_size)
         block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
 
+        convin = nn.Conv(channels[0], (3, 3), padding="SAME", name="convin")
         embeddings = []
-        y = nn.elu(nn.Conv(channels[0], (3, 3), padding="SAME", name="convin")(coefficients))
-        embeddings.append(y)
-        cur = jnp.transpose(y, (0, 3, 1, 2)) if self.remat else y
+        if self.remat:
+            # convin runs inside a remat cell with NCHW boundaries so the
+            # saved residual (the full-resolution input) has a padding-free
+            # layout (see EncoderBlock docstring).
+            def _convin_nchw(mdl, xc):
+                x = jnp.transpose(xc, (0, 2, 3, 1))
+                return jnp.transpose(nn.elu(mdl(x)), (0, 3, 1, 2))
+
+            cur = nn.remat(_convin_nchw)(
+                convin, jnp.transpose(coefficients, (0, 3, 1, 2)))
+            embeddings.append(jnp.transpose(cur, (0, 2, 3, 1)))
+        else:
+            cur = nn.elu(convin(coefficients))
+            embeddings.append(cur)
         for i in range(4):
             cur = block_cls(channels[i + 1], stride=2,
                             nchw_boundary=self.remat, name=f"block{i + 1}")(cur)
             embeddings.append(jnp.transpose(cur, (0, 2, 3, 1))
                               if self.remat else cur)
-        y = embeddings[-1]
 
         # Collapse the remaining frequency extent into the latent dimension.
         latents = nn.Conv(latent, (sizes[-1], 1), padding="VALID", name="convlat")(embeddings[-1])
@@ -173,7 +184,7 @@ class Decoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, latents, encoder_embeddings=None):
+    def __call__(self, latents, encoder_embeddings=None, nchw_out=False):
         channels = _channel_widths(self.model_complexity)[::-1]
         sizes, paddings = embedding_sizes(self.feature_size)
         block_cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
@@ -194,9 +205,22 @@ class Decoder(nn.Module):
                 if self.remat:
                     skip = jnp.transpose(skip, (0, 3, 1, 2))
                 y = y + skip
+        convout = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                          name="convout")
         if self.remat:
-            y = jnp.transpose(y, (0, 2, 3, 1))
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME", name="convout")(y)
+            # Keep convout's saved residual + (optionally) its output NCHW.
+            def _convout_nchw(mdl, yc):
+                out = mdl(jnp.transpose(yc, (0, 2, 3, 1)))
+                return jnp.transpose(out, (0, 3, 1, 2))
+
+            out_nchw = nn.remat(_convout_nchw)(convout, y)
+            if nchw_out:
+                return out_nchw
+            return jnp.transpose(out_nchw, (0, 2, 3, 1))
+        out = convout(y)
+        if nchw_out:
+            return jnp.transpose(out, (0, 3, 1, 2))
+        return out
 
 
 class FiLM(nn.Module):
@@ -267,10 +291,13 @@ class TimbreTrapNet(nn.Module):
             return [self.skip_weights[i] * e for i, e in enumerate(embeddings)]
         return None
 
-    def decode(self, latents, embeddings=None, transcribe=False):
+    def decode(self, latents, embeddings=None, transcribe=False,
+               nchw_out=False):
         """Latents (B, T, D) -> coefficients (B, F, T, C_out).
 
         ``transcribe`` must be a static Python bool (it selects the graph).
+        ``nchw_out`` returns (B, C_out, F, T) instead — used by the training
+        step under remat so the saved output residuals stay padding-free.
         """
         if self.variant == "film":
             condition = jnp.asarray(
@@ -280,30 +307,37 @@ class TimbreTrapNet(nn.Module):
             indicator = jnp.full(
                 latents.shape[:-1] + (1,), float(not transcribe), latents.dtype)
             latents = jnp.concatenate([latents, indicator], axis=-1)
-        coefficients = self.decoder(latents, embeddings)
+        coefficients = self.decoder(latents, embeddings, nchw_out)
         if self.variant == "mag":
             coefficients = nn.relu(coefficients)
         elif self.variant == "magdb":
             coefficients = nn.sigmoid(coefficients)
         return coefficients
 
-    def __call__(self, coefficients, consistency=False):
+    def __call__(self, coefficients, consistency=False, nchw_outputs=False):
         """Full training-mode forward on precomputed spectral input.
 
         Returns (reconstruction, latents, transcription, transcription_rec,
-        transcription_scr, losses) — reference ``modules.py:338-393`` — all
-        in NHWC layout; the transform is applied by the caller, ONCE
-        (the reference recomputes the CQT inside forward; we don't).
+        transcription_scr, losses) — reference ``modules.py:338-393`` — in
+        NHWC layout (or NCHW coefficients with ``nchw_outputs``, the
+        memory-lean training mode); the transform is applied by the caller,
+        ONCE (the reference recomputes the CQT inside forward; we don't).
         """
         latents, embeddings, losses = self.encode(coefficients)
         embeddings = self.apply_skip_connections(embeddings)
-        reconstruction = self.decode(latents, embeddings)
-        transcription = self.decode(latents, embeddings, True)
+        reconstruction = self.decode(latents, embeddings,
+                                     nchw_out=nchw_outputs)
+        transcription = self.decode(latents, embeddings, True,
+                                    nchw_out=nchw_outputs)
         if consistency:
-            latents_trn, embeddings_trn, _ = self.encode(transcription)
+            trn_features = (jnp.transpose(transcription, (0, 2, 3, 1))
+                            if nchw_outputs else transcription)
+            latents_trn, embeddings_trn, _ = self.encode(trn_features)
             embeddings_trn = self.apply_skip_connections(embeddings_trn)
-            transcription_rec = self.decode(latents_trn, embeddings_trn)
-            transcription_scr = self.decode(latents_trn, embeddings_trn, True)
+            transcription_rec = self.decode(latents_trn, embeddings_trn,
+                                            nchw_out=nchw_outputs)
+            transcription_scr = self.decode(latents_trn, embeddings_trn, True,
+                                            nchw_out=nchw_outputs)
         else:
             transcription_rec, transcription_scr = None, None
         return (reconstruction, latents, transcription,

@@ -82,6 +82,12 @@ def _recon_loss_nhwc(reconstructed, target):
     return jnp.mean(jnp.sum(se, axis=(1, 3)))
 
 
+def _recon_loss_nchw(reconstructed, target):
+    """Reference-layout (B, C, F, T) reconstruction loss."""
+    se = jnp.square(reconstructed - target)
+    return jnp.mean(jnp.sum(se, axis=(-3, -2)))
+
+
 def _transcription_loss(estimate, target, weighted):
     """(B, F, T) activations vs ground truth (objectives.py:36-74)."""
     loss = jnp.square(estimate - target)
@@ -106,14 +112,24 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int):
     features_from_audio = model.features_from_audio
     to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
+    # Under remat, coefficients flow through the loss in NCHW — the saved
+    # residuals then have padding-free layouts (see models.modules).
+    nchw = bool(getattr(net, "remat", False))
+    recon_loss = _recon_loss_nchw if nchw else _recon_loss_nhwc
     tx = make_optimizer(config)
 
     def loss_fn(params, features, ground_truth):
-        outputs = net.apply({"params": params}, features, consistency)
+        outputs = net.apply({"params": params}, features, consistency,
+                            nchw_outputs=nchw)
         reconstruction, _, transcription, trn_rec, trn_scr, aux_losses = outputs
 
-        activations = to_activations_nhwc(transcription)
-        loss_rec = _recon_loss_nhwc(reconstruction, features)
+        if nchw:
+            target = jnp.transpose(features, (0, 3, 1, 2))
+            activations = model.to_activations(transcription)  # (B,C,F,T) in
+        else:
+            target = features
+            activations = to_activations_nhwc(transcription)
+        loss_rec = recon_loss(reconstruction, target)
         loss_trn = _transcription_loss(activations[:mpe_batch_size],
                                        ground_truth,
                                        config.weight_positive_class)
@@ -121,9 +137,9 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int):
                    "loss/transcription": loss_trn}
         total = config.multiplier_reconstruction * loss_rec
         if consistency:
-            target = transcription[:mpe_batch_size]
-            loss_sp = _recon_loss_nhwc(trn_rec[:mpe_batch_size], target)
-            loss_sc = _recon_loss_nhwc(trn_scr[:mpe_batch_size], target)
+            target_c = transcription[:mpe_batch_size]
+            loss_sp = recon_loss(trn_rec[:mpe_batch_size], target_c)
+            loss_sc = recon_loss(trn_scr[:mpe_batch_size], target_c)
             metrics["loss/consistency/spectral"] = loss_sp
             metrics["loss/consistency/score"] = loss_sc
         if config.transcription_active:

@@ -101,3 +101,34 @@ def test_importer_rejects_shape_mismatch(rng):
            "encoder.convin.0.bias": rng.standard_normal(3)}
     with pytest.raises(ValueError):
         import_torch_state_dict(bad, params)
+
+
+def test_film_variant_import(reference_modules, rng):
+    """FiLM gamma/beta Linear weights import with the right transpose."""
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from timbre_trap.framework.modules import FiLM as RefFiLM
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+
+    D = 16
+    ref = RefFiLM(embedding_size=D, n_conditions=2).eval()
+    state_dict = {f"film_layer.{k}": v for k, v in ref.state_dict().items()}
+
+    net = TimbreTrapNet(feature_size=60, latent_size=D, variant="film")
+    x = jnp.asarray(rng.standard_normal((1, 60, 4, 2)), jnp.float32)
+    init_params = net.init(jax.random.PRNGKey(0), x)["params"]
+    # merge: import film params into the (randomly initialized) tree
+    film_params = import_torch_state_dict(state_dict)
+    merged = dict(init_params)
+    merged["film_layer"] = film_params["film_layer"]
+
+    lat = rng.standard_normal((1, 3, D)).astype(np.float32)  # (B, T, D)
+    with torch.no_grad():
+        cond = torch.tensor([1.0, 0.0])
+        ref_out = ref(torch.from_numpy(np.swapaxes(lat, 1, 2)), cond)
+    got = net.apply({"params": merged}, jnp.asarray(lat),
+                    jnp.asarray([1.0, 0.0]), method=lambda m, a, c:
+                    m.film_layer(a, c))
+    np.testing.assert_allclose(np.swapaxes(np.asarray(got), 1, 2),
+                               ref_out.numpy(), atol=1e-5)

@@ -189,3 +189,26 @@ def test_remat_train_step_matches_plain(rng):
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_grad_accumulation_matches_full_batch(tiny_model, rng):
+    """k accumulation micro-steps == one step on the concatenated batch."""
+    cfg_full = TrainConfig(multiplier_consistency=0.0)
+    cfg_acc = TrainConfig(multiplier_consistency=0.0, grad_accum_steps=2)
+
+    audio, gt = _fake_batch(tiny_model, 4, 4, rng)
+
+    step_full = jax.jit(make_train_step(tiny_model, cfg_full, mpe_batch_size=4))
+    p0, opt0 = init_train_state(tiny_model, cfg_full)
+    p_full, _, _ = step_full(p0, opt0, audio, gt, 1e-3)
+
+    step_acc = jax.jit(make_train_step(tiny_model, cfg_acc, mpe_batch_size=2))
+    p, opt = init_train_state(tiny_model, cfg_acc)
+    p, opt, _ = step_acc(p, opt, audio[:2], gt[:2], 1e-3)
+    # params unchanged until the accumulation boundary
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p, opt, _ = step_acc(p, opt, audio[2:], gt[2:], 1e-3)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-6)

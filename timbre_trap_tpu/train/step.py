@@ -42,16 +42,24 @@ class TrainConfig:
     multiplier_consistency: float = 1.0
     weight_positive_class: bool = True
     transcription_active: bool = True    # False before n_epochs_late_start
+    # Average gradients over k consecutive step() calls before applying the
+    # update — reaches the reference global batch (8 x 9-s crops) on few
+    # chips when HBM bounds the per-step batch (see README "Training
+    # memory on TPU").
+    grad_accum_steps: int = 1
 
 
 def make_optimizer(config: TrainConfig):
     """AdamW (decoupled wd) + global-norm clip; LR applied inside the step."""
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(config.grad_clip),
         optax.scale_by_adam(),
         optax.add_decayed_weights(config.weight_decay),
         optax.scale(-1.0),
     )
+    if config.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=config.grad_accum_steps)
+    return tx
 
 
 def init_train_state(model, config: TrainConfig):

@@ -24,7 +24,7 @@ def main():
     model = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
                        secs_per_block=3, latent_size=128, model_complexity=2)
     sr = 22050
-    seconds = 60.0
+    seconds = 600.0  # 10 minutes: amortizes dispatch/upload; RTF is stable
     rng = np.random.default_rng(0)
     t = np.arange(int(seconds * sr)) / sr
     audio = sum(0.2 * np.sin(2 * np.pi * f * t) for f in (220.0, 277.2, 329.6))

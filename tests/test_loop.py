@@ -126,3 +126,46 @@ def test_trainer_late_start(model, corpus, tmp_path):
     trainer.run()
     # Only the transcription-inactive step should have been compiled.
     assert list(trainer._steps.keys()) == [False]
+
+
+def test_model_learns_pitch(model, rng):
+    """End-to-end learning check: after a few dozen steps of overfitting two
+    pure tones, transcription activations must concentrate at the annotated
+    bins (catches target misalignment / sign errors that shape tests miss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.data.pitch import PitchDataset
+    from timbre_trap_tpu.train import TrainConfig, make_train_step, init_train_state
+    from timbre_trap_tpu.transform.design import midi_to_hz
+
+    m = model
+    L, M = m.sliCQ.block_length, m.sliCQ.max_window_length
+    t = np.arange(L) / SR
+    freqs = [float(midi_to_hz(69.0)), float(midi_to_hz(72.0))]
+    audio = np.stack([0.5 * np.sin(2 * np.pi * f * t) for f in freqs])
+    audio = audio[:, None, :].astype(np.float32)
+    gt = np.stack([
+        PitchDataset.multi_pitch_to_activations(
+            [np.array([f])] * M, m.sliCQ.get_midi_freqs())
+        for f in freqs]).astype(np.float32)
+
+    cfg = TrainConfig(multiplier_consistency=0.0)
+    step = jax.jit(make_train_step(m, cfg, mpe_batch_size=2))
+    params, opt = init_train_state(m, cfg)
+    for _ in range(60):
+        params, opt, metrics = step(params, opt, jnp.asarray(audio),
+                                    jnp.asarray(gt), 2e-3)
+    assert np.isfinite(float(metrics["loss/total"]))
+
+    saved = m.params
+    try:
+        m.params = params
+        acts = np.asarray(m.transcribe(audio))
+    finally:
+        m.params = saved
+    bin_a = int(np.argmin(np.abs(m.sliCQ.midi_freqs - 69.0)))
+    on = acts[0, bin_a].mean()
+    off = np.delete(acts[0], slice(bin_a - 3, bin_a + 4), axis=0).mean()
+    assert on > 0.5, f"GT-bin activation only {on:.3f}"
+    assert on > 3 * off, f"no contrast: on={on:.3f} off={off:.3f}"

@@ -49,6 +49,10 @@ class CQT:
         self._decode_jit = jax.jit(self._decode)
         self._decode_real_jit = jax.jit(self._decode_real)
         self._decode_complex_jit = jax.jit(self._decode_normalized)
+        # Fully-jitted forward: complex intermediates must not hit eager ops
+        # (unimplemented on some TPU runtimes — see the verify skill notes).
+        self._forward_jit = jax.jit(
+            lambda a: self.to_real(self._encode(jax.lax.stop_gradient(a))))
 
     # ------------------------------------------------------------------ #
     # Core transform                                                     #
@@ -70,10 +74,10 @@ class CQT:
         """Audio (B x 1 x T) -> real/imag coefficients (B x 2 x F x T').
 
         Like the reference (``cqtwrapper.py:65`` runs under ``no_grad``),
-        gradients do not flow through the analysis transform.
+        gradients do not flow through the analysis transform. Runs as one
+        jitted program (the complex intermediate never goes eager).
         """
-        coefficients = self.encode(jax.lax.stop_gradient(jnp.asarray(audio)))
-        return self.to_real(coefficients)
+        return self._forward_jit(jnp.asarray(audio))
 
     __call__ = forward
 

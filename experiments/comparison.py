@@ -63,6 +63,7 @@ def main():
     valid = midi_to_hz(cqt.midi_freqs) > MAX_FREQ
 
     def _mask(acts):
+        acts = np.array(acts)  # device arrays come back read-only
         acts[valid] = 0
         return acts
 

@@ -1,0 +1,82 @@
+"""End-to-end tests of the sonify and latents CLIs on a toy Bach10 corpus."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import scipy.io
+
+from timbre_trap_tpu.data.io import save_wav
+from timbre_trap_tpu.transform.design import midi_to_hz
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+INSTRUMENTS = ["violin", "clarinet", "saxphone", "bassoon"]
+
+
+@pytest.fixture(scope="module")
+def flagship_ckpt(tmp_path_factory):
+    """A saved flagship-config model (random weights)."""
+    from timbre_trap_tpu.models import TimbreTrap
+
+    model = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
+                       secs_per_block=3, latent_size=128, model_complexity=2)
+    path = str(tmp_path_factory.mktemp("ckpt") / "model")
+    model.save(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def toy_bach10(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bach10")
+    sr = 22050
+    track = "01-AchGottundHerr"
+    d = tmp / track
+    d.mkdir()
+    n_frames = 250
+    secs = 0.023 + 0.010 * n_frames + 0.1
+    t = np.arange(int(secs * sr)) / sr
+    midis = [55.0, 60.0, 64.0, 67.0]
+    for ins, m in zip(INSTRUMENTS, midis):
+        stem = 0.4 * np.sin(2 * np.pi * float(midi_to_hz(m)) * t)
+        save_wav(str(d / f"{track}-{ins}.wav"), stem.astype(np.float32), sr)
+    mix = sum(0.25 * np.sin(2 * np.pi * float(midi_to_hz(m)) * t)
+              for m in midis)
+    save_wav(str(d / f"{track}.wav"), mix.astype(np.float32), sr)
+    gtf0 = np.tile(np.asarray(midis)[:, None], (1, n_frames))
+    scipy.io.savemat(str(d / f"{track}-GTF0s.mat"), {"GTF0s": gtf0})
+    return str(tmp)
+
+
+def _run_cli(script, argv, timeout=840):
+    code = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = {['x'] + argv!r}; "
+        f"runpy.run_path({os.path.join(REPO, 'experiments', script)!r},"
+        " run_name='__main__')"
+    )
+    return subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def test_sonify_cli(flagship_ckpt, toy_bach10, tmp_path):
+    out_dir = str(tmp_path / "sonified")
+    out = _run_cli("sonify.py", ["--checkpoint", flagship_ckpt,
+                                 "--bach10-dir", toy_bach10,
+                                 "--output-dir", out_dir])
+    assert out.returncode == 0, out.stderr[-2000:]
+    files = sorted(os.listdir(out_dir))
+    assert [f[-8:] for f in files] == ["_rec.wav", "_ref.wav", "_scr.wav"]
+    for f in files:
+        assert os.path.getsize(os.path.join(out_dir, f)) > 1000
+
+
+def test_latents_cli(flagship_ckpt, toy_bach10, tmp_path):
+    out_pdf = str(tmp_path / "latents.pdf")
+    out = _run_cli("latents.py", ["--checkpoint", flagship_ckpt,
+                                  "--bach10-dir", toy_bach10,
+                                  "--output", out_pdf])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.getsize(out_pdf) > 1000

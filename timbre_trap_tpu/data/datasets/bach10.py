@@ -64,8 +64,10 @@ class Bach10Stems(MPEDataset, Bach10Common):
     INSTRUMENTS = ["violin", "clarinet", "saxphone", "bassoon"]
 
     def get_tracks(self, split):
-        name = [d for d in os.listdir(self.base_dir) if d.startswith(split)][0]
-        return [f"{name}-{ins}" for ins in self.INSTRUMENTS]
+        names = [d for d in os.listdir(self.base_dir) if d.startswith(split)]
+        if not names:  # piece not present (partial corpus)
+            return []
+        return [f"{names[0]}-{ins}" for ins in self.INSTRUMENTS]
 
     def get_audio_path(self, track):
         n, mix, _ = track.split("-")

@@ -79,7 +79,10 @@ class URMPStems(MPEDataset, URMPCommon):
     """Individual URMP stems; tracks are ``<mixture>/<stem-suffix>``."""
 
     def get_tracks(self, split):
-        name = [d for d in os.listdir(self.base_dir) if d.startswith(split)][0]
+        names = [d for d in os.listdir(self.base_dir) if d.startswith(split)]
+        if not names:  # piece not present (partial corpus)
+            return []
+        name = names[0]
         track_files = os.listdir(os.path.join(self.base_dir, name))
         tracks = [os.path.join(name, f) for f in track_files
                   if f.startswith("AuSep")]

@@ -26,13 +26,18 @@ def main():
     p.add_argument("--bach10-dir", default=None)
     p.add_argument("--output-dir", default=os.path.join("generated", "sonify"))
     p.add_argument("--sample-rate", type=int, default=22050)
+    p.add_argument("--n-octaves", type=int, default=9)
+    p.add_argument("--bins-per-octave", type=int, default=60)
+    p.add_argument("--latent-size", type=int, default=128)
+    p.add_argument("--model-complexity", type=int, default=2)
     p.add_argument("--stems", action="store_true",
                    help="process Bach10 stems instead of mixtures")
     args = p.parse_args()
 
-    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=9,
-                       bins_per_octave=60, secs_per_block=3,
-                       latent_size=128, model_complexity=2)
+    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
+                       bins_per_octave=args.bins_per_octave, secs_per_block=3,
+                       latent_size=args.latent_size,
+                       model_complexity=args.model_complexity)
     model.params = load_params(args.checkpoint)
 
     if args.stems:

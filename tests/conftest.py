@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles many distinct CPU graphs;
+# re-runs (e.g. the driver's green-check) hit the cache and finish much faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tt_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

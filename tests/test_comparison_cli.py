@@ -55,3 +55,28 @@ def test_comparison_baselines_run(toy_bach10):
     lin = re.search(r"\[lin-CQT\].*?'mpe/f1-score': ([0-9.]+)", out.stdout)
     assert lin, out.stdout[-2000:]
     assert float(lin.group(1)) > 0.3
+
+
+def test_evaluate_cli(toy_bach10, tmp_path):
+    """The evaluate CLI loads a checkpoint and prints per-set results."""
+    from timbre_trap_tpu.models import TimbreTrap
+
+    ckpt = str(tmp_path / "model")
+    TimbreTrap(sample_rate=22050, n_octaves=6, bins_per_octave=12,
+               secs_per_block=3, latent_size=32,
+               model_complexity=1).save(ckpt)
+    code = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = ['x', '--checkpoint', {ckpt!r}, '--datasets', 'Bach10',"
+        f" '--base-dirs', {toy_bach10!r},"
+        " '--n-octaves', '6', '--bins-per-octave', '12',"
+        " '--latent-size', '32', '--model-complexity', '1']; "
+        f"runpy.run_path({os.path.join(REPO, 'experiments', 'evaluate.py')!r},"
+        " run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=840)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mpe/f1-score" in out.stdout
+    assert "reconstruction/SDR" in out.stdout

@@ -17,11 +17,11 @@ INSTRUMENTS = ["violin", "clarinet", "saxphone", "bassoon"]
 
 @pytest.fixture(scope="module")
 def flagship_ckpt(tmp_path_factory):
-    """A saved flagship-config model (random weights)."""
+    """A saved small-config model (random weights, 22.05 kHz)."""
     from timbre_trap_tpu.models import TimbreTrap
 
-    model = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
-                       secs_per_block=3, latent_size=128, model_complexity=2)
+    model = TimbreTrap(sample_rate=22050, n_octaves=6, bins_per_octave=12,
+                       secs_per_block=3, latent_size=32, model_complexity=1)
     path = str(tmp_path_factory.mktemp("ckpt") / "model")
     model.save(path)
     return path
@@ -65,7 +65,10 @@ def test_sonify_cli(flagship_ckpt, toy_bach10, tmp_path):
     out_dir = str(tmp_path / "sonified")
     out = _run_cli("sonify.py", ["--checkpoint", flagship_ckpt,
                                  "--bach10-dir", toy_bach10,
-                                 "--output-dir", out_dir])
+                                 "--output-dir", out_dir,
+                                 "--n-octaves", "6", "--bins-per-octave", "12",
+                                 "--latent-size", "32",
+                                 "--model-complexity", "1"])
     assert out.returncode == 0, out.stderr[-2000:]
     files = sorted(os.listdir(out_dir))
     assert [f[-8:] for f in files] == ["_rec.wav", "_ref.wav", "_scr.wav"]
@@ -77,6 +80,9 @@ def test_latents_cli(flagship_ckpt, toy_bach10, tmp_path):
     out_pdf = str(tmp_path / "latents.pdf")
     out = _run_cli("latents.py", ["--checkpoint", flagship_ckpt,
                                   "--bach10-dir", toy_bach10,
-                                  "--output", out_pdf])
+                                  "--output", out_pdf,
+                                  "--n-octaves", "6", "--bins-per-octave", "12",
+                                  "--latent-size", "32",
+                                  "--model-complexity", "1"])
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.getsize(out_pdf) > 1000

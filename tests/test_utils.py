@@ -66,3 +66,38 @@ def test_plot_latents_saves(tmp_path, rng):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+def test_device_prefetch_orders_and_propagates(rng):
+    from timbre_trap_tpu.data import device_prefetch
+
+    batches = [{"x": np.full((2, 2), i)} for i in range(5)]
+    seen = list(device_prefetch(iter(batches),
+                                transfer=lambda b: b["x"] * 2, depth=2))
+    assert [int(s[0, 0]) for s in seen] == [0, 2, 4, 6, 8]
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("loader died")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="loader died"):
+        list(device_prefetch(boom(), transfer=lambda b: b))
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate("toy-op"):
+            jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    import os
+
+    # a plugins/profile/<run>/ directory with trace artifacts must exist
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += files
+    assert found, "no trace artifacts written"

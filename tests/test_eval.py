@@ -138,3 +138,31 @@ def test_device_peak_mask_matches_numpy(rng):
     ref = threshold(filter_non_peaks(a), 0.5).astype(np.uint8)
     assert np.array_equal(np.asarray(peak_mask(a)), ref)
     assert np.array_equal(np.asarray(peak_mask_pallas(a, interpret=True)), ref)
+
+
+def test_masked_peak_estimates_boundary_bin():
+    """Invalid-frequency zeroing must happen BEFORE peak-picking (reference
+    evaluate.py:105-110): an invalid bin that dominates its valid neighbor
+    suppresses the neighbor's peak unless it is zeroed first."""
+    from timbre_trap_tpu.eval.evaluation import masked_peak_estimates
+
+    F, T = 8, 4
+    acts = np.zeros((1, F, T), np.float32)
+    acts[0, 5] = 0.6   # valid boundary bin — a peak once bin 6 is zeroed
+    acts[0, 6] = 0.9   # invalid bin (above MAX_FREQ), dominates bin 5
+    invalid = np.zeros(F, bool)
+    invalid[6:] = True
+
+    with pytest.warns(RuntimeWarning, match="invalid frequencies"):
+        mask = masked_peak_estimates(acts, invalid)
+
+    assert mask.shape == (F, T)
+    assert np.all(mask[5] == 1.0)      # promoted peak survives thresholding
+    assert not mask[invalid].any()      # nothing reported at invalid bins
+
+    # No invalid activations -> no warning, bin 6 keeps its peak.
+    acts2 = acts.copy()
+    acts2[0, 6] = 0.0
+    acts2[0, 4] = 0.9
+    mask2 = masked_peak_estimates(acts2, invalid)
+    assert np.all(mask2[4] == 1.0) and not mask2[5].any()

@@ -30,7 +30,24 @@ from ..utils import MultipitchEvaluator, to_array
 from .multipitch import MAX_FREQ
 from .sdr import signal_distortion_ratio
 
-__all__ = ["evaluate"]
+__all__ = ["evaluate", "masked_peak_estimates"]
+
+
+def masked_peak_estimates(transcription, invalid_freqs):
+    """Activations (1, F, T) -> peak-picked binary mask (F, T) numpy.
+
+    Zeroes activations at invalid frequencies BEFORE peak-picking, as the
+    reference does (evaluate.py:105-110) — the order matters at boundary
+    bins, where a removed activation can promote or suppress a neighboring
+    peak. The any-positive check is a device-side scalar reduce; only the
+    bit-sized binary mask is downloaded.
+    """
+    invalid = np.asarray(invalid_freqs)[None, :, None]
+    if float(jnp.sum(jnp.where(invalid, transcription, 0.0))):
+        warnings.warn("Positive activations were generated for "
+                      "invalid frequencies.", RuntimeWarning)
+        transcription = jnp.where(invalid, 0.0, transcription)
+    return to_array(peak_mask(transcription))[0].astype(np.float64)
 
 
 def _avg_pool_time(array, k=7):
@@ -78,13 +95,7 @@ def evaluate(model, eval_set, multipliers, writer=None, i=0):
         times_est = model.sliCQ.get_times(
             model.sliCQ.get_expected_frames(audio.shape[-1]))
 
-        # Peak-pick + threshold on device; download only the binary mask.
-        mask = to_array(peak_mask(transcription))[0].astype(np.float64)
-
-        if np.sum(mask[valid_freqs]):
-            warnings.warn("Positive activations were generated for "
-                          "invalid frequencies.", RuntimeWarning)
-            mask[valid_freqs] = 0
+        mask = masked_peak_estimates(transcription, valid_freqs)
 
         multi_pitch_est = PitchDataset.activations_to_multi_pitch(
             mask, model.sliCQ.midi_freqs, peaks_only=False)

@@ -1,0 +1,63 @@
+"""Subprocess worker for the two-process multi-host data-sharding test.
+
+Each process owns 2 virtual CPU devices; `jax.distributed` (Gloo CPU
+collectives) joins them into one 4-device cluster. The worker runs one
+data-parallel train step where each process contributes only its
+local_batch_slice rows of the global batch — the pod-scale input path the
+reference never had (SURVEY.md §2.6).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from timbre_trap_tpu import parallel
+
+    assert parallel.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    assert parallel.is_multi_host()
+
+    import numpy as np
+
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.parallel import make_mesh, shard_global_batch
+    from timbre_trap_tpu.train import (TrainConfig, init_train_state,
+                                       make_train_step, shard_train_step)
+
+    model = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                       secs_per_block=0.5, latent_size=16, model_complexity=1)
+    config = TrainConfig(multiplier_consistency=1.0)
+    step = make_train_step(model, config, mpe_batch_size=4)
+    params, opt_state = init_train_state(model, config)
+    # Seeded init is identical on every process; hand jit host-local numpy
+    # leaves so they are treated as fully-replicated global inputs.
+    params = jax.tree.map(np.asarray, params)
+    opt_state = jax.tree.map(np.asarray, opt_state)
+
+    mesh = make_mesh()  # spans all global devices (2 per process)
+    sharded_step = shard_train_step(step, mesh)
+
+    rng = np.random.default_rng(0)
+    L, M = model.sliCQ.block_length, model.sliCQ.max_window_length
+    audio = (rng.standard_normal((4, 1, L)) * 0.1).astype(np.float32)
+    gt = (rng.uniform(size=(4, model.sliCQ.n_bins, M)) > 0.97).astype(np.float32)
+    audio, gt = shard_global_batch(mesh, (audio, gt))
+
+    params, opt_state, metrics = sharded_step(params, opt_state, audio, gt, 1e-3)
+    print(f"LOSS {float(metrics['loss/total']):.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicated", "batch_sharded", "shard_batch", "P"]
+__all__ = ["make_mesh", "replicated", "batch_sharded", "shard_batch",
+           "shard_global_batch", "P"]
 
 DATA_AXIS = "data"
 
@@ -43,3 +44,32 @@ def shard_batch(mesh, batch, axis_name=DATA_AXIS):
     """Device-put a pytree of batch arrays with the leading axis sharded."""
     sharding = batch_sharded(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_global_batch(mesh, batch, axis_name=DATA_AXIS):
+    """Build globally batch-sharded arrays from per-host batch pytrees.
+
+    Single-process: identical to :func:`shard_batch`. Multi-process (pod
+    runs after :func:`..distributed.initialize`): every host passes the
+    SAME logical global batch; each keeps only its ``local_batch_slice``
+    rows and the global array is assembled without any cross-host copy via
+    ``jax.make_array_from_process_local_data``. Leading dims must divide
+    ``jax.process_count()``.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return shard_batch(mesh, batch, axis_name)
+    sharding = batch_sharded(mesh, axis_name)
+
+    def _one(x):
+        x = np.asarray(x)
+        if x.shape[0] % n_proc:
+            raise ValueError(
+                f"global batch {x.shape[0]} not divisible by "
+                f"{n_proc} processes")
+        per = x.shape[0] // n_proc
+        lo = jax.process_index() * per
+        return jax.make_array_from_process_local_data(
+            sharding, x[lo:lo + per], x.shape)
+
+    return jax.tree.map(_one, batch)

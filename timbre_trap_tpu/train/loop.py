@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..data import constants
 from ..eval.evaluation import evaluate
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh, shard_global_batch
 from .checkpoint import save_checkpoint
 from .schedules import PlateauDecay, cosine_warmup
 from .step import TrainConfig, init_train_state, make_train_step, shard_train_step
@@ -135,7 +135,9 @@ class Trainer:
                 [audio, np.asarray(data_audio[constants.KEY_AUDIO],
                                    np.float32)], axis=0)
         if self.mesh is not None:
-            audio, gt = shard_batch(self.mesh, (audio, gt))
+            # Process-aware: on multi-host pods each process contributes
+            # only its local_batch_slice rows of the global batch.
+            audio, gt = shard_global_batch(self.mesh, (audio, gt))
         return audio, gt
 
     def _log(self, metrics):

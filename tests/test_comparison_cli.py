@@ -48,11 +48,12 @@ def test_comparison_baselines_run(toy_bach10):
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "[lin-CQT]" in out.stdout and "[log-CQT]" in out.stdout
+    assert "[Bach10/lin-CQT]" in out.stdout and "[Bach10/log-CQT]" in out.stdout
     # The linear-CQT baseline should transcribe clean tones quite well.
     import re
 
-    lin = re.search(r"\[lin-CQT\].*?'mpe/f1-score': ([0-9.]+)", out.stdout)
+    lin = re.search(r"\[Bach10/lin-CQT\].*?'mpe/f1-score': ([0-9.]+)",
+                    out.stdout)
     assert lin, out.stdout[-2000:]
     assert float(lin.group(1)) > 0.3
 

@@ -163,11 +163,14 @@ std::vector<double> design_filter(int up, int down, int half_len_base,
   return taps;
 }
 
+}  // namespace
+
 // Rational polyphase resampling (zero-stuff by `up`, filter, take every
 // `down`-th), matching the alignment convention of resample_poly: output
-// sample j corresponds to input position j * down / up.
-std::vector<float> resample_poly(const std::vector<float>& x, int up,
-                                 int down) {
+// sample j corresponds to input position j * down / up. External linkage:
+// shared with the MP3 decode path (mp3_decode.cc).
+std::vector<float> tt_resample_poly(const std::vector<float>& x, int up,
+                                    int down) {
   if (up == down) return x;
   std::vector<double> h = design_filter(up, down, 10, 8.555);
   const int half_len = (static_cast<int>(h.size()) - 1) / 2;
@@ -191,8 +194,6 @@ std::vector<float> resample_poly(const std::vector<float>& x, int up,
   }
   return y;
 }
-
-}  // namespace
 
 extern "C" {
 
@@ -220,7 +221,7 @@ int tt_load_wav(const char* path, int target_sr, int normalize, float** out,
   if (target_sr > 0 && target_sr != sr) {
     const int g = static_cast<int>(std::gcd(static_cast<long>(target_sr),
                                             static_cast<long>(sr)));
-    samples = resample_poly(samples, target_sr / g, sr / g);
+    samples = tt_resample_poly(samples, target_sr / g, sr / g);
     sr = target_sr;
   }
   if (normalize) {

@@ -379,3 +379,34 @@ def test_fma_metadata(tmp_path):
     assert ds_none.tracks == ["000009"]
     assert ds.get_audio_path("000002").endswith(
         os.path.join("000", "000002.mp3"))
+
+
+def test_fma_get_audio_decodes_mp3(tmp_path):
+    """FMA loads real mp3 audio end-to-end through the native decoder."""
+    from timbre_trap_tpu.data.datasets import FMA_S
+    from timbre_trap_tpu.data.io import native
+    from test_native_audio import _lame, encode_mp3
+
+    if not (native.available() and native.mp3_available() and _lame()):
+        pytest.skip("libmpg123/libmp3lame unavailable")
+
+    meta = tmp_path / "fma_metadata"
+    meta.mkdir()
+    with open(meta / "genres.csv", "w") as fh:
+        fh.write("genre_id,#tracks,parent,title,top_level\n")
+        fh.write("12,100,0,Rock,12\n")
+    with open(meta / "tracks.csv", "w") as fh:
+        fh.write(",album,track\n")
+        fh.write("track_id,title,genres_all\n")
+        fh.write(",,\n")
+        fh.write('2,Song,"[12]"\n')
+    audio_dir = tmp_path / "000"
+    audio_dir.mkdir()
+    t = np.arange(2 * SR) / SR
+    sig = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype(np.int16)
+    encode_mp3(str(audio_dir / "000002.mp3"), sig, SR)
+
+    ds = FMA_S(base_dir=str(tmp_path), splits=["Rock"], sample_rate=SR)
+    audio = ds.get_audio("000002")
+    assert audio.shape[0] == 1 and audio.shape[-1] > SR
+    assert np.abs(audio).max() == pytest.approx(1.0, abs=1e-4)

@@ -1,9 +1,10 @@
 """Free Music Archive wrappers (reference: datasets/AudioMixtures/FMA.py).
 
 Audio-only mp3 corpus with genre splits derived from the fma_metadata CSVs.
-NOTE: mp3 decode is gated in this environment (see data/io/wav.py) — audio
-loading degrades per-sample until a native decoder lands; the metadata /
-split machinery is fully functional.
+Audio decodes through the native MP3 path (``data/io/native.py`` →
+``native/src/mp3_decode.cc`` over the system libmpg123); on machines
+without libmpg123, loading degrades per-sample to empty audio exactly like
+the reference's torchaudio error path (``AudioDataset.py:79-84``).
 """
 
 import ast

@@ -12,7 +12,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "load_audio_native"]
+__all__ = ["available", "mp3_available", "load_audio_native",
+           "load_mp3_native"]
 
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", ".."))
@@ -46,6 +47,10 @@ def _load():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.tt_load_wav.restype = ctypes.c_int
+            lib.tt_load_mp3.argtypes = lib.tt_load_wav.argtypes
+            lib.tt_load_mp3.restype = ctypes.c_int
+            lib.tt_mp3_available.argtypes = []
+            lib.tt_mp3_available.restype = ctypes.c_int
             lib.tt_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
             lib.tt_free.restype = None
             _lib = lib
@@ -59,26 +64,45 @@ def available():
     return _load() is not None
 
 
-def load_audio_native(path, sample_rate=None, normalize=True):
-    """Decode a WAV file natively -> (float32 (1, N) array, sample_rate).
+def mp3_available():
+    """Whether MP3 decode is usable (native lib built AND libmpg123 found)."""
+    lib = _load()
+    return lib is not None and bool(lib.tt_mp3_available())
 
-    Raises RuntimeError on decode failure (caller may fall back).
-    """
+
+def _decode(fn_name, kind, path, sample_rate, normalize):
     lib = _load()
     if lib is None:
         raise RuntimeError("native audio library unavailable")
     out = ctypes.POINTER(ctypes.c_float)()
     out_len = ctypes.c_int64()
     out_sr = ctypes.c_int()
-    rc = lib.tt_load_wav(os.fsencode(path),
-                         int(sample_rate or 0), int(bool(normalize)),
-                         ctypes.byref(out), ctypes.byref(out_len),
-                         ctypes.byref(out_sr))
+    rc = getattr(lib, fn_name)(
+        os.fsencode(path), int(sample_rate or 0), int(bool(normalize)),
+        ctypes.byref(out), ctypes.byref(out_len), ctypes.byref(out_sr))
     if rc != 0:
-        raise RuntimeError(f"native WAV decode failed (code {rc}) for {path}")
+        raise RuntimeError(f"native {kind} decode failed (code {rc}) for {path}")
     try:
         n = out_len.value
         audio = np.ctypeslib.as_array(out, shape=(n,)).copy()
     finally:
         lib.tt_free(out)
     return audio[None, :].astype(np.float32), int(out_sr.value)
+
+
+def load_audio_native(path, sample_rate=None, normalize=True):
+    """Decode a WAV file natively -> (float32 (1, N) array, sample_rate).
+
+    Raises RuntimeError on decode failure (caller may fall back).
+    """
+    return _decode("tt_load_wav", "WAV", path, sample_rate, normalize)
+
+
+def load_mp3_native(path, sample_rate=None, normalize=True):
+    """Decode an MP3 via the system libmpg123 (dlopen'd by the native lib).
+
+    Same contract as :func:`load_audio_native`; reference parity with the
+    torchaudio decode path (``datasets/AudioDataset.py:49-86``) for the FMA
+    corpus (``datasets/AudioMixtures/FMA.py``).
+    """
+    return _decode("tt_load_mp3", "MP3", path, sample_rate, normalize)

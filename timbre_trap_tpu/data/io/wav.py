@@ -68,10 +68,24 @@ def load_audio(path, sample_rate=None, mono=True, normalize=True):
                 except RuntimeError:
                     pass  # fall back to the numpy decoder
         audio, fs = _decode_wav(path)
+    elif ext == ".mp3":
+        from . import native
+
+        if not native.mp3_available():
+            raise ValueError(
+                "mp3 decode requires the native loader + system libmpg123; "
+                "neither a pure-numpy fallback nor another decoder exists")
+        # Native path already downmixes/resamples/normalizes in C++.
+        audio, fs = native.load_mp3_native(
+            path, sample_rate=sample_rate, normalize=normalize)
+        if not mono:
+            raise ValueError("mp3 decode is mono-only (dataset pipeline "
+                             "downmixes anyway, AudioDataset.py:67-70)")
+        return audio.astype(np.float32), fs
     else:
         raise ValueError(
-            f"unsupported audio format {ext!r} (native decoders beyond WAV "
-            f"are gated in this environment)")
+            f"unsupported audio format {ext!r} (native decoders beyond "
+            f"WAV/MP3 are gated in this environment)")
     if mono:
         audio = np.mean(audio, axis=0, keepdims=True)
     if sample_rate is not None and fs != sample_rate:

@@ -1,8 +1,14 @@
 """Headline benchmark: transcribe() real-time factor on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line. Primary metric (unchanged driver contract):
     {"metric": "transcribe_rtf", "value": N, "unit": "audio-sec/sec/chip",
-     "vs_baseline": N}
+     "vs_baseline": N, ...}
+
+Extra keys in the same line (BASELINE.md tracked metrics + VERDICT r1 #4/#9):
+    device_rtf                 transcribe RTF with device-resident input
+    cqt_fwd_inv_frames_per_sec forward+inverse sliCQ throughput
+    mpe_f1                     deterministic synthetic-polyphony training F1
+                               (quality regression tracker, eval/quality.py)
 
 ``vs_baseline`` is value / 1.0 — i.e., the multiple of real-time. The
 reference repo publishes no benchmark numbers (BASELINE.md); the north-star
@@ -12,10 +18,19 @@ with the flagship (released-model) configuration.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _time(fn, iters=3):
+    fn()  # warm-up / compile
+    start = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - start) / iters
 
 
 def main():
@@ -31,28 +46,55 @@ def main():
     audio = (audio + 0.01 * rng.standard_normal(t.shape))[None, None, :]
     audio = audio.astype(np.float32)
 
+    import jax
     import jax.numpy as jnp
 
-    def run_once():
-        acts = model.transcribe(audio)
-        # NOTE: block_until_ready is not a reliable sync on the tunneled TPU
-        # runtime; a scalar device reduction + host fetch forces execution.
-        return float(jnp.sum(acts))
-
-    run_once()  # warm-up / compile
-
-    n_iters = 3
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        run_once()
-    elapsed = (time.perf_counter() - start) / n_iters
-
+    # NOTE: block_until_ready is not a reliable sync on the tunneled TPU
+    # runtime; a scalar device reduction + host fetch forces execution.
+    elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio))))
     rtf = seconds / elapsed
+
+    # Device-resident input: isolates compute from the host->device upload.
+    audio_dev = jax.device_put(jnp.asarray(audio))
+    float(jnp.sum(audio_dev))
+    dev_elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio_dev))))
+    device_rtf = seconds / dev_elapsed
+
+    # Transform round trip (BASELINE.md: CQT fwd+inv frames/sec).
+    cqt = model.sliCQ
+    blocks = 20
+    rt_audio = jax.device_put(jnp.asarray(
+        audio[..., :blocks * cqt.block_length]))
+    n_frames = cqt.get_expected_frames(rt_audio.shape[-1])
+    fwd_inv = jax.jit(lambda x: cqt.decode_raw(cqt.encode_raw(x)))
+    rt_elapsed = _time(lambda: float(jnp.sum(fwd_inv(rt_audio))), iters=5)
+    frames_per_sec = n_frames / rt_elapsed
+
+    # Quality regression tracker: deterministic synthetic-polyphony training
+    # F1 (the reference's validation-during-training signal, hermetic).
+    # Retried: the remote-compile service occasionally 500s (transient,
+    # .claude/skills/verify/SKILL.md); the JSON line must print regardless.
+    mpe_f1 = None
+    if os.environ.get("TT_TPU_BENCH_F1", "1") != "0":
+        from timbre_trap_tpu.eval import quality_f1
+
+        for attempt in range(3):
+            try:
+                mpe_f1 = round(quality_f1(model, n_tracks=8, steps=120,
+                                          lr=2e-3, seed=0, batch_size=4), 5)
+                break
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                print(f"# quality_f1 attempt {attempt + 1} failed: {exc}",
+                      file=sys.stderr)
+
     print(json.dumps({
         "metric": "transcribe_rtf",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(rtf, 2),
+        "device_rtf": round(device_rtf, 2),
+        "cqt_fwd_inv_frames_per_sec": round(frames_per_sec, 1),
+        "mpe_f1": mpe_f1,
     }))
 
 

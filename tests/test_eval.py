@@ -166,3 +166,43 @@ def test_masked_peak_estimates_boundary_bin():
     acts2[0, 4] = 0.9
     mask2 = masked_peak_estimates(acts2, invalid)
     assert np.all(mask2[4] == 1.0) and not mask2[5].any()
+
+
+# --------------------------------------------------------------------- #
+# Quality regression harness (eval/quality.py, tracked by bench.py)     #
+# --------------------------------------------------------------------- #
+
+def test_synthesize_polyphony_deterministic():
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.eval import synthesize_polyphony
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    a1, t1, f1 = synthesize_polyphony(m.sliCQ, 3, seed=7)
+    a2, t2, f2 = synthesize_polyphony(m.sliCQ, 3, seed=7)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(t1, t2)
+    assert a1.shape == (3, 1, m.sliCQ.block_length)
+    F = m.sliCQ.n_bins
+    M = m.sliCQ.get_expected_frames(m.sliCQ.block_length)
+    assert t1.shape == (3, F, M)
+    # Every drawn pitch is on the representable grid (no rasterizer warning).
+    lo, hi = m.sliCQ.midi_freqs[0], m.sliCQ.midi_freqs[-1]
+    from timbre_trap_tpu.transform.design import hz_to_midi
+    for hz in f1:
+        midis = np.asarray(hz_to_midi(hz))
+        assert np.all((midis >= lo) & (midis <= hi))
+
+
+def test_quality_f1_learns():
+    """The tracked metric must be computable and show actual learning."""
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.eval import quality_f1
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    saved = m.params
+    f1 = quality_f1(m, n_tracks=4, steps=40, lr=2e-3, seed=0)
+    assert m.params is saved  # model left untouched
+    assert 0.0 <= f1 <= 1.0
+    assert f1 > 0.2, f"synthetic-polyphony F1 did not rise ({f1})"

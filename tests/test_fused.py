@@ -1,0 +1,106 @@
+"""Fused Pallas level kernels & full fused forward vs the flax modules.
+
+Runs in Pallas interpret mode on the CPU test backend; the same code path
+compiles on TPU (tools/_tpu_fused_trial.py benchmarks it there).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from timbre_trap_tpu.models.modules import (DecoderBlock, EncoderBlock,
+                                            TimbreTrapNet)
+from timbre_trap_tpu.models.fused import fused_forward, fused_supported
+from timbre_trap_tpu.ops.packed_conv import pack_nhwc, unpack_to_nhwc
+from timbre_trap_tpu.ops.fused_level import (decoder_level_spec,
+                                             encoder_level_spec,
+                                             fused_level_apply)
+
+B, T = 2, 40
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("c,f", [(4, 540), (8, 269), (16, 133), (32, 65)])
+def test_fused_encoder_level_matches_flax(c, f):
+    rng = np.random.default_rng(c)
+    x = _rand(rng, B, f, T, c)
+    mod = EncoderBlock(out_channels=2 * c)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    ref = mod.apply({"params": params}, x)
+    spec = encoder_level_spec(params, f)
+    got = fused_level_apply(pack_nhwc(x), spec, tile_t=128, interpret=True)
+    got = unpack_to_nhwc(got, 2 * c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("c,f,p", [(64, 31, 0), (32, 65, 1), (16, 133, 0),
+                                   (8, 269, 1)])
+def test_fused_decoder_level_matches_flax(c, f, p):
+    rng = np.random.default_rng(c + p)
+    x = _rand(rng, B, f, T, c)
+    mod = DecoderBlock(out_channels=c // 2, padding=p)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    ref = mod.apply({"params": params}, x)
+    spec = decoder_level_spec(params, f, output_padding=p)
+    got = fused_level_apply(pack_nhwc(x), spec, tile_t=128, interpret=True)
+    got = unpack_to_nhwc(got, c // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_fused_level_convin_fusion():
+    """convin folded into encoder level 1 (C_in=2 -> C0)."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(0)
+    f = 540
+    x = _rand(rng, B, f, T, 2)
+
+    class Convin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.elu(nn.Conv(4, (3, 3), padding="SAME", name="convin")(x))
+            return EncoderBlock(out_channels=8, name="block")(y)
+
+    mod = Convin()
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    ref = mod.apply({"params": params}, x)
+    spec = encoder_level_spec(params["block"], f,
+                              convin_params=params["convin"])
+    got = fused_level_apply(pack_nhwc(x), spec, tile_t=128, interpret=True)
+    got = unpack_to_nhwc(got, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["base", "film", "mag", "magdb"])
+@pytest.mark.parametrize("transcribe", [False, True])
+def test_fused_forward_matches_net(variant, transcribe):
+    """Whole fused forward == TimbreTrapNet decode path, all variants."""
+    rng = np.random.default_rng(3)
+    f_size = 540
+    net = TimbreTrapNet(feature_size=f_size, latent_size=32,
+                        model_complexity=1, variant=variant)
+    x = _rand(rng, 1, f_size, 24, net.in_channels)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    assert fused_supported(net)
+
+    latents, _, _ = net.apply({"params": params}, x, method="encode")
+    ref = net.apply({"params": params}, latents, None, transcribe,
+                    method="decode")
+    ref_nchw = jnp.moveaxis(ref, -1, 1)
+
+    got = fused_forward(params, net, x, transcribe, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_nchw),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_fused_forward_skip_connections_unsupported():
+    net = TimbreTrapNet(feature_size=540, model_complexity=1,
+                        skip_connections=True)
+    assert not fused_supported(net)

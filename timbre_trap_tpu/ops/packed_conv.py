@@ -1,0 +1,264 @@
+"""Packed f-major banded-matmul formulation of the model's convolutions.
+
+The Timbre-Trap conv stack (reference ``modules.py:396-777``) has tiny
+channel counts (2..64) but the *product* F·C is ~2048-2160 at every level.
+NHWC conv activations therefore pay a large lane-padding tax on TPU and
+every op round-trips HBM. This module re-expresses every conv of the model
+on a **packed layout** ``(B, R, T)`` with ``R = F·C`` (f-major: row index
+``r = f*C + c``), where a frequency-axis convolution with channel mixing is
+a *block-banded matrix multiply* whose 128-row band block is IDENTICAL for
+every block (all channel widths divide 128), so a single ``(128, K)``
+weight block per time-tap drives the whole level:
+
+    y[j*128:(j+1)*128, t] = sum_dt  B_dt @ x_dt[j*col_adv - margin : ..., t]
+
+with ``x_dt`` the input shifted by ``dt*dilation`` time frames and
+``col_adv = 128 * C_in / C_out * stride_factor`` (always an integer here).
+
+Covers: 3x3 dilated SAME conv (ResidualConv2dBlock, reference
+``modules.py:721-777``), 1x1 conv, the frequency-strided down-sampling conv
+(kernel ``(2s,1)``, stride ``(s,1)``, VALID — ``modules.py:597-655``), the
+torch-semantics transposed conv (``modules.py:658-718``), and the 3x3
+convin/convout with C_in != C_out (``modules.py:430-433,543``).
+
+``packed_*_reference`` run the banded form with plain XLA ops — used to
+validate the math and as the fallback; ``ops/fused_level.py`` executes the
+same blocks inside fused Pallas kernels.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "pack_nhwc", "unpack_to_nhwc", "pack_nchw", "unpack_to_nchw",
+    "ConvBlocks", "build_conv2d_blocks", "build_sconv_blocks",
+    "build_tconv_blocks", "packed_conv_reference",
+]
+
+BLOCK_ROWS = 128
+
+
+def pack_nhwc(x):
+    """(B, F, T, C) -> (B, F*C, T) f-major packed."""
+    b, f, t, c = x.shape
+    return jnp.transpose(x, (0, 1, 3, 2)).reshape(b, f * c, t)
+
+
+def unpack_to_nhwc(x, channels):
+    """(B, F*C, T) -> (B, F, T, C)."""
+    b, r, t = x.shape
+    return jnp.transpose(x.reshape(b, r // channels, channels, t),
+                         (0, 1, 3, 2))
+
+
+def pack_nchw(x):
+    """(B, C, F, T) -> (B, F*C, T) f-major packed."""
+    b, c, f, t = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, f * c, t)
+
+
+def unpack_to_nchw(x, channels):
+    """(B, F*C, T) -> (B, C, F, T)."""
+    b, r, t = x.shape
+    return jnp.transpose(x.reshape(b, r // channels, channels, t),
+                         (0, 2, 1, 3))
+
+
+class ConvBlocks:
+    """A conv expressed as repeating banded blocks on the packed layout.
+
+    Attributes:
+      blocks:   (n_dt, 128, K) float32 — banded weight block per time tap.
+      dts:      length-n_dt tuple of time-frame shifts (input frame offset).
+      bias:     (128,) float32 — per-row bias pattern (tiles every 128 rows).
+      col_adv:  input-row advance per 128 output rows.
+      margin:   rows of zero padding required ABOVE the input (col_0 of the
+                block reads input row ``j*col_adv - margin``).
+      k:        block K extent (input rows read per output block).
+      f_in/f_out, c_in/c_out: geometry (f_out*c_out = R_out).
+    """
+
+    def __init__(self, blocks, dts, bias, col_adv, margin, f_in, f_out,
+                 c_in, c_out):
+        self.blocks = blocks
+        self.dts = tuple(int(d) for d in dts)
+        self.bias = bias
+        self.col_adv = int(col_adv)
+        self.margin = int(margin)
+        self.k = int(blocks.shape[-1])
+        self.f_in, self.f_out = int(f_in), int(f_out)
+        self.c_in, self.c_out = int(c_in), int(c_out)
+
+    @property
+    def r_in(self):
+        return self.f_in * self.c_in
+
+    @property
+    def r_out(self):
+        return self.f_out * self.c_out
+
+    @property
+    def n_out_blocks(self):
+        return math.ceil(self.r_out / BLOCK_ROWS)
+
+
+def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts):
+    """Shared builder.
+
+    ``kernel_fc[df, dt, ci, co]`` are the weights; ``f_taps(f_loc, df)``
+    maps an output frequency (local to a block) and frequency-tap index to
+    the absolute input frequency offset (relative to ``f_loc=0``'s window
+    start) — returns None when the tap does not apply to this output row.
+    """
+    n_f_per_block = BLOCK_ROWS // c_out
+    assert BLOCK_ROWS % c_out == 0
+    n_df = kernel_fc.shape[0]
+
+    def window(block):
+        offs = [f_taps(block * n_f_per_block + fl, df)
+                for fl in range(n_f_per_block) for df in range(n_df)]
+        return [o for o in offs if o is not None]
+
+    # Input f-window of block 0; the advance to block 1's window gives the
+    # per-block column stride (the banded pattern repeats — every channel
+    # width divides 128 and strides divide the block's f extent).
+    w0, w1 = window(0), window(1)
+    lo, hi = min(w0), max(w0)
+    margin_rows = -lo * c_in  # input rows of zero padding above row 0
+    col_adv = (min(w1) - lo) * c_in
+    assert (max(w1) - min(w1)) == (hi - lo), "band pattern must repeat"
+    # Round the margin up to the 8-row sublane tile (col_adv is always a
+    # multiple of 8 here) so every kernel row-window slice is sublane-aligned
+    # — unaligned slices cost a sublane rotate per MXU pass on TPU.
+    shift = (-margin_rows) % 8
+    margin_rows += shift
+    k = (hi - lo + 1) * c_in + shift
+
+    # Static scatter map (geometry only, no weight values): the block is a
+    # gather of the kernel, so building runs on-device under jit — weights
+    # are never pulled to the host (device->host is slow on tunneled TPU
+    # runtimes) and the formulation stays differentiable.
+    n_dt = len(dts)
+    idx = np.zeros((4, n_dt, BLOCK_ROWS, k), np.int32)
+    valid = np.zeros((n_dt, BLOCK_ROWS, k), bool)
+    for di in range(n_dt):
+        for fl in range(n_f_per_block):
+            for co in range(c_out):
+                r = fl * c_out + co
+                for df in range(n_df):
+                    off = f_taps(fl, df)
+                    if off is None:
+                        continue
+                    base = (off - lo) * c_in + shift
+                    for ci in range(c_in):
+                        idx[:, di, r, base + ci] = (df, di, ci, co)
+                        valid[di, r, base + ci] = True
+
+    kern = jnp.asarray(kernel_fc)
+    blocks = jnp.where(jnp.asarray(valid),
+                       kern[tuple(jnp.asarray(idx))], 0.0)
+
+    bias = jnp.asarray(bias)
+    bias_pat = jnp.tile(bias, n_f_per_block)
+    return ConvBlocks(blocks, dts, bias_pat,
+                      col_adv, margin_rows, f_in, f_out, c_in, c_out)
+
+
+def build_conv2d_blocks(kernel, bias, f_in, dilation=1):
+    """SAME 2D conv, kernel (kh, kw, C_in, C_out) HWIO, dilation on both axes.
+
+    Covers the residual-block 3x3/1x1 convs and convin/convout
+    (reference ``modules.py:721-777,430-433,543``). f_out == f_in.
+    """
+    kh, kw, c_in, c_out = kernel.shape
+    d = int(dilation)
+    half_h = (kh - 1) // 2
+    dts = tuple((i - (kw - 1) // 2) * d for i in range(kw))
+
+    def f_taps(f_loc, df):
+        return f_loc + (df - half_h) * d
+
+    kernel_fc = jnp.asarray(kernel, jnp.float32)
+    return _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
+                         f_in, f_in, c_in, c_out, f_taps, dts)
+
+
+def build_sconv_blocks(kernel, bias, f_in, stride=2):
+    """Frequency-strided VALID down-sampling conv, kernel (2s, 1, C_in, C_out).
+
+    Reference ``modules.py:597-655``: ``f_out = (f_in - 2s) // s + 1``.
+    """
+    kh, kw, c_in, c_out = kernel.shape
+    assert kw == 1
+    s = int(stride)
+    f_out = (f_in - kh) // s + 1
+
+    def f_taps(f_loc, df):
+        return f_loc * s + df
+
+    kernel_fc = jnp.asarray(kernel, jnp.float32)
+    return _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
+                         f_in, f_out, c_in, c_out, f_taps, (0,))
+
+
+def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0):
+    """Torch-semantics transposed conv along frequency, kernel (kh, 1, Ci, Co).
+
+    ``f_out = (f_in - 1)*stride + kh + output_padding`` (ops/conv.py,
+    reference ``modules.py:658-718``): ``y[fo] += x[fi] W[k]`` wherever
+    ``fo = fi*stride + k``.
+    """
+    kh, kw, c_in, c_out = kernel.shape
+    assert kw == 1
+    s = int(stride)
+    f_out = (f_in - 1) * s + kh + int(output_padding)
+
+    # For output f: contributing taps k with (f - k) % s == 0 and
+    # fi = (f - k) / s in range. Express via f_taps with df = k index.
+    def f_taps(f_loc, df):
+        if (f_loc - df) % s != 0:
+            return None
+        return (f_loc - df) // s
+
+    kernel_fc = jnp.asarray(kernel, jnp.float32)
+    blocks = _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
+                           f_in, f_out, c_in, c_out, f_taps, (0,))
+    return blocks
+
+
+def packed_conv_reference(x, cb: ConvBlocks):
+    """Reference execution of a ConvBlocks conv on packed (B, R_in, T) input.
+
+    Plain XLA ops (pad + per-block dots); used to validate the banded math
+    and as the non-Pallas fallback. Returns (B, R_out, T).
+    """
+    b, r_in, t = x.shape
+    assert r_in == cb.r_in, (r_in, cb.r_in)
+    n_blocks = cb.n_out_blocks
+    # Zero-pad rows: margin above; below enough for the last block's window.
+    top = cb.margin
+    bottom = max(0, (n_blocks - 1) * cb.col_adv - cb.margin + cb.k - r_in)
+    xp = jnp.pad(x, ((0, 0), (top, bottom), (0, 0)))
+
+    max_dt = max((abs(d) for d in cb.dts), default=0)
+    if max_dt:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (max_dt, max_dt)))
+
+    out = []
+    for j in range(n_blocks):
+        start = j * cb.col_adv
+        acc = None
+        for di, dt in enumerate(cb.dts):
+            # Correlation semantics (jax.lax conv): y[t] += B_dt @ x[t + dt].
+            xs = xp[:, start:start + cb.k,
+                    max_dt + dt:max_dt + dt + t] if max_dt else \
+                xp[:, start:start + cb.k, :]
+            term = jnp.einsum("rk,bkt->brt", cb.blocks[di], xs,
+                              preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    y = jnp.concatenate(out, axis=1)[:, :cb.r_out]
+    bias_full = jnp.tile(cb.bias, n_blocks)[:cb.r_out]
+    return y + bias_full[None, :, None]

@@ -20,7 +20,16 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tt_tpu_jax_cache")
+    # Key the cache by host: XLA:CPU AOT entries embed machine features, and
+    # a cache carried over from a different machine forces slow recompiles
+    # whose skew can blow Gloo's 30 s rendezvous timeout.
+    import platform
+    import hashlib
+
+    tag = hashlib.sha1(
+        (platform.node() + platform.processor()).encode()).hexdigest()[:8]
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/tt_tpu_jax_cache_{tag}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from timbre_trap_tpu import parallel

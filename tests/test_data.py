@@ -45,10 +45,15 @@ def test_wav_resample_and_normalize(tmp_path):
 
 
 def test_unsupported_format(tmp_path):
-    path = str(tmp_path / "t.mp3")
-    open(path, "wb").write(b"\xff\xfb")
+    # mp3 is natively supported now (data/io/native.py); ogg remains gated.
+    path = str(tmp_path / "t.ogg")
+    open(path, "wb").write(b"OggS\x00")
     with pytest.raises(ValueError):
         load_audio(path)
+    bad_mp3 = str(tmp_path / "t.mp3")
+    open(bad_mp3, "wb").write(b"\xff\xfb")
+    with pytest.raises((ValueError, RuntimeError)):
+        load_audio(bad_mp3)
 
 
 # --------------------------------------------------------------------- #

@@ -24,7 +24,7 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
 
-@pytest.mark.parametrize("c,f", [(4, 540), (8, 269), (16, 133), (32, 65)])
+@pytest.mark.parametrize("c,f", [(4, 540), (16, 133)])
 def test_fused_encoder_level_matches_flax(c, f):
     rng = np.random.default_rng(c)
     x = _rand(rng, B, f, T, c)
@@ -38,8 +38,7 @@ def test_fused_encoder_level_matches_flax(c, f):
                                atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("c,f,p", [(64, 31, 0), (32, 65, 1), (16, 133, 0),
-                                   (8, 269, 1)])
+@pytest.mark.parametrize("c,f,p", [(64, 31, 0), (8, 269, 1)])
 def test_fused_decoder_level_matches_flax(c, f, p):
     rng = np.random.default_rng(c + p)
     x = _rand(rng, B, f, T, c)
@@ -78,8 +77,8 @@ def test_fused_level_convin_fusion():
                                atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["base", "film", "mag", "magdb"])
-@pytest.mark.parametrize("transcribe", [False, True])
+@pytest.mark.parametrize("variant,transcribe", [
+    ("base", True), ("base", False), ("film", True), ("magdb", True)])
 def test_fused_forward_matches_net(variant, transcribe):
     """Whole fused forward == TimbreTrapNet decode path, all variants."""
     rng = np.random.default_rng(3)

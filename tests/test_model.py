@@ -215,3 +215,20 @@ def test_remat_with_skips(rng):
     params = net.init(jax.random.PRNGKey(0), x)["params"]
     out = net.apply({"params": params}, x, False)
     assert out[0].shape == (1, F, T, 2)
+
+
+def test_streaming_transcribe_matches_single_program():
+    """Piece-pipelined transcribe == the one-program path, frame-exact."""
+    import jax.numpy as jnp
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    m.piece_blocks = 3  # force streaming on a short clip
+    rng = np.random.default_rng(0)
+    audio = (0.3 * rng.standard_normal((1, 1, int(7.3 * 8000)))
+             ).astype(np.float32)
+    ref = np.asarray(m._transcribe_jit(m.params, jnp.asarray(audio)))
+    got = np.asarray(m.transcribe(audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)

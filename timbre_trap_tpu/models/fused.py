@@ -65,6 +65,11 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
     dec = params["decoder"]
 
     x = pack_nhwc(features).astype(dtype)
+    # In f32 mode the fused path is exact (5e-7 vs true fp32 per level on
+    # v5e); keep the latent-boundary matmuls at full precision too — the
+    # TPU default multiplies in bf16, and the decoder amplifies latent
+    # noise. bf16 mode keeps the fast default.
+    precision = ("highest" if jnp.dtype(dtype) == jnp.float32 else "default")
 
     # Encoder: convin fused into level 1.
     f = feature_size
@@ -78,6 +83,7 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
     # Latent boundary (dense matmuls on packed rows).
     w_lat, b_lat, w_dec, b_dec = _latent_matmuls(params, net)
     latents = jnp.einsum("rl,brt->blt", w_lat, x.astype(jnp.float32),
+                         precision=precision,
                          preferred_element_type=jnp.float32)
     latents = latents + b_lat[None, :, None]
 
@@ -94,7 +100,7 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
                              float(not transcribe), latents.dtype)
         latents = jnp.concatenate([latents, indicator], axis=1)
 
-    y = jnp.einsum("ri,bit->brt", w_dec, latents,
+    y = jnp.einsum("ri,bit->brt", w_dec, latents, precision=precision,
                    preferred_element_type=jnp.float32)
     y = jax.nn.elu(y + b_dec[None, :, None]).astype(dtype)
 

@@ -41,7 +41,7 @@ class TimbreTrap:
 
     def __init__(self, sample_rate, n_octaves, bins_per_octave, secs_per_block=3,
                  latent_size=None, model_complexity=1, skip_connections=False,
-                 seed=0, remat=False):
+                 seed=0, remat=False, fused="auto"):
         self.hparams = dict(sample_rate=sample_rate, n_octaves=n_octaves,
                             bins_per_octave=bins_per_octave,
                             secs_per_block=secs_per_block,
@@ -49,6 +49,14 @@ class TimbreTrap:
                             model_complexity=model_complexity,
                             skip_connections=skip_connections,
                             variant=self.variant)
+        # Inference conv-stack backend: "auto" runs the fused Pallas level
+        # kernels (ops/fused_level.py) on TPU — bf16 storage for transcribe
+        # (error on par with XLA's default bf16 multiplies), exact f32 for
+        # reconstruction; "f32" forces exact everywhere; "off" keeps the
+        # flax/XLA path. CPU always uses the flax path (Pallas interpret
+        # mode is test-only). Assigning .fused rebuilds the jitted entry
+        # points (the mode is baked into the traced programs).
+        self._fused = fused
         self.sliCQ = CQT(n_octaves=n_octaves,
                          bins_per_octave=bins_per_octave,
                          sample_rate=sample_rate,
@@ -61,7 +69,9 @@ class TimbreTrap:
                                  remat=remat)
         dummy = jnp.zeros((1, self.sliCQ.n_bins, 4, self.net.in_channels), jnp.float32)
         self.params = self.net.init(jax.random.PRNGKey(seed), dummy)["params"]
+        self._build_jits()
 
+    def _build_jits(self):
         self._features_jit = jax.jit(self.features_from_audio)
         self._encode_jit = jax.jit(self._encode_fn)
         self._decode_jit = jax.jit(self._decode_fn, static_argnums=3)
@@ -70,6 +80,17 @@ class TimbreTrap:
         self._chunked_jit = jax.jit(self._chunked_fn, static_argnums=2)
         self._transcribe_jit = jax.jit(self._transcribe_fn)
         self._reconstruct_jit = jax.jit(self._reconstruct_fn)
+        self._piece_jit = jax.jit(self._piece_fn)
+
+    @property
+    def fused(self):
+        return self._fused
+
+    @fused.setter
+    def fused(self, value):
+        if value != getattr(self, "_fused", None):
+            self._fused = value
+            self._build_jits()
 
     # ------------------------------------------------------------------ #
     # Feature extraction (variant-dependent)                             #
@@ -102,9 +123,25 @@ class TimbreTrap:
         features = self.features_from_audio(audio)
         return self.net.apply({"params": params}, features, consistency)
 
+    def _use_fused(self):
+        from .fused import fused_supported
+
+        if self.fused in (False, "off", None):
+            return False
+        if not fused_supported(self.net):
+            return False
+        return jax.default_backend() == "tpu"
+
     def _infer_fn(self, params, audio, transcribe):
         """Single full-length pass audio (B,1,N) -> coefficients (B,C,F,T)."""
         features = self.features_from_audio(audio)
+        if self._use_fused():
+            from .fused import fused_forward
+
+            dtype = (jnp.bfloat16 if transcribe and self.fused != "f32"
+                     else jnp.float32)
+            return fused_forward(params, self.net, features, transcribe,
+                                 dtype=dtype)
         latents, embeddings, _ = self.net.apply(
             {"params": params}, features, method="encode")
         embeddings = self.net.apply(
@@ -247,8 +284,49 @@ class TimbreTrap:
         """Internal-layout (B,F,T,C) counterpart used by the training step."""
         return jnp.tanh(jnp.linalg.norm(coefficients, axis=-1))
 
+    # Streaming-transcribe piece size, in sliCQ blocks. Pieces pipeline the
+    # host->device upload against device compute: all transfers are enqueued
+    # up front and each piece's scan starts as soon as its data lands, so
+    # wall time ~ max(total upload, total compute) instead of their sum.
+    piece_blocks = 16
+
+    def _piece_fn(self, params, segment):
+        """Chunk-scan + activations over one pre-extended audio piece.
+
+        ``segment`` is ``piece_blocks*L + L`` samples: the piece plus a
+        half-block halo on each side (the 50%-overlap context), i.e. exactly
+        the ``_pad_for_chunks`` form of a piece — ``_chunked_fn`` then
+        yields precisely the piece's frames.
+        """
+        return self.to_activations(self._chunked_fn(params, segment, True))
+
     def transcribe(self, audio):
-        """Audio (B,1,N) -> multi-pitch activations (B,F,T)."""
+        """Audio (B,1,N) -> multi-pitch activations (B,F,T).
+
+        Host (numpy) inputs longer than a few pieces stream: uploads are
+        pipelined against compute piece-by-piece (the tunnel/host link is
+        the end-to-end bottleneck once the conv stack is fused). Device
+        inputs and short clips take the single fused program.
+        """
+        if not isinstance(audio, jax.Array):
+            audio_np = np.asarray(audio, np.float32)
+            L = self.sliCQ.block_length
+            hop = L // 2
+            M = self.sliCQ.max_window_length
+            n_blocks = -(-audio_np.shape[-1] // L)
+            if n_blocks >= 2 * self.piece_blocks:
+                P = self.piece_blocks
+                n_pieces = -(-n_blocks // P)
+                pad = [(0, 0)] * (audio_np.ndim - 1)
+                ext = np.pad(audio_np,
+                             pad + [(hop, n_pieces * P * L
+                                     - audio_np.shape[-1] + hop)])
+                segs = [jax.device_put(ext[..., i * P * L:
+                                           (i * P + P) * L + L])
+                        for i in range(n_pieces)]
+                acts = [self._piece_jit(self.params, s) for s in segs]
+                out = jnp.concatenate(acts, axis=-1)
+                return out[..., :n_blocks * M]
         return self._transcribe_jit(self.params, jnp.asarray(audio))
 
     def reconstruct(self, audio_in):

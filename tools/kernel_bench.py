@@ -24,17 +24,20 @@ import jax.numpy as jnp
 def bench_op(fn, args, iters=100, reps=3):
     """Per-iteration seconds for ``fn(*args)`` amortized inside a scan.
 
-    ``fn`` must return an array; a scalar of it feeds the next iteration
-    through a dummy additive carry to enforce sequential execution.
+    The FIRST argument is perturbed by the (tiny) carry each iteration so
+    the op is NOT loop-invariant — XLA hoists loop-invariant computations
+    out of the scan entirely, which silently turns this harness into a
+    dispatch-floor measurement (round-1 numbers had this flaw: per-conv
+    costs looked flat across a 16x FLOP range because only one conv ran).
     """
 
     @jax.jit
     def run(args):
         def body(carry, _):
-            out = fn(*args)
-            # Fold the carry in so iterations cannot be collapsed; the
-            # op inputs stay constant so weights/layout stay realistic.
-            return carry + jnp.real(jnp.ravel(out)[0]), None
+            first = args[0] + carry.astype(args[0].dtype)
+            out = fn(first, *args[1:])
+            s = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32)
+            return s * 1e-30, None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return total

@@ -232,3 +232,17 @@ def test_streaming_transcribe_matches_single_program():
     got = np.asarray(m.transcribe(audio))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_transcribe_accepts_int16_audio():
+    """PCM16 input == float input dequantized (device-side 1/32768 scale)."""
+    import jax.numpy as jnp
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal((1, 1, 6000)) * 8000).astype(np.int16)
+    ref = np.asarray(m.transcribe(pcm.astype(np.float32) / 32768.0))
+    got = np.asarray(m.transcribe(pcm))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

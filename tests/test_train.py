@@ -212,3 +212,42 @@ def test_grad_accumulation_matches_full_batch(tiny_model, rng):
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_full)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-6)
+
+
+def test_packed_train_step_matches_flax():
+    """Packed-banded training forward reproduces the flax step's losses and
+    gradient direction (same math, padding-free layout; models/fused.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.train import TrainConfig, init_train_state, make_train_step
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    rng = np.random.default_rng(0)
+    L, M = m.sliCQ.block_length, m.sliCQ.max_window_length
+    audio = jnp.asarray(rng.standard_normal((2, 1, L)) * 0.1, jnp.float32)
+    gt = jnp.asarray((rng.uniform(size=(2, m.sliCQ.n_bins, M)) > 0.95),
+                     jnp.float32)
+
+    outs = {}
+    for backend in ("flax", "packed"):
+        step = jax.jit(make_train_step(m, cfg, mpe_batch_size=2,
+                                       conv_backend=backend))
+        params, opt = init_train_state(m, cfg)
+        new_params, _, metrics = step(params, opt, audio, gt, 1e-3)
+        outs[backend] = (new_params, metrics)
+
+    for key in ("loss/total", "loss/reconstruction", "loss/transcription",
+                "loss/consistency/spectral", "loss/consistency/score"):
+        a = float(outs["flax"][1][key])
+        b = float(outs["packed"][1][key])
+        assert a == pytest.approx(b, rel=2e-3), (key, a, b)
+    # Updated parameters agree to optimizer-step tolerance.
+    flat_a = jax.tree_util.tree_leaves(outs["flax"][0])
+    flat_b = jax.tree_util.tree_leaves(outs["packed"][0])
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=5e-4)

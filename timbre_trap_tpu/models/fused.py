@@ -1,17 +1,26 @@
-"""Fused-kernel forward path for the Timbre-Trap model families.
+"""Packed-layout forward paths for the Timbre-Trap model families.
 
-Executes the whole autoencoder in the packed f-major layout
+Executes the autoencoder in the packed f-major layout
 (``ops/packed_conv.py``): convin is fused into the first encoder level and
-convout into the last decoder level (``ops/fused_level.py``), while the
-latent-boundary convs — ``convlat`` (kernel ``(E,1)``, reference
-``modules.py:440-446``) and the decoder ``convin`` ConvTranspose (kernel
-``(E,1)``, ``modules.py:533-536``) — are dense matmuls over the packed row
-axis. The only layout changes in the entire forward are one pack at entry
-and one unpack at exit.
+convout into the last decoder level, while the latent-boundary convs —
+``convlat`` (kernel ``(E,1)``, reference ``modules.py:440-446``) and the
+decoder ``convin`` ConvTranspose (``modules.py:533-536``) — are dense
+matmuls over the packed row axis. The only layout changes in the entire
+forward are one pack at entry and one unpack at exit.
 
-Semantics match ``TimbreTrapNet`` (``models/modules.py``) exactly; the
-decoder switch (indicator channel / FiLM) follows ``modules.py:119-147``
-and ``:780-839``. Skip connections are not supported here (the flagship
+Two conv backends execute the same banded level specs:
+
+* ``"pallas"`` — the fused VMEM kernels (``ops/fused_level.py``); the fast
+  inference path (bf16 storage ~4.6x the XLA conv stack on v5e; f32 exact).
+* ``"xla"``   — plain banded einsums (``packed_conv_reference``); fully
+  differentiable, so it is the TRAINING path: activations and transients
+  are (B, R~2048, T) with no lane-padding anywhere, where the NHWC/NCHW
+  flax path materializes 16x-padded conv temps that blow HBM at the
+  reference batch (8 x 9-s crops, train.py:39-101).
+
+Semantics match ``TimbreTrapNet`` (``models/modules.py``); the decoder
+switch (indicator channel / FiLM) follows ``modules.py:119-147`` and
+``:780-839``. Skip connections are not supported here (the flagship
 configuration ships without them, ``experiments/train.py:101``) — callers
 fall back to the flax path when they are enabled.
 """
@@ -22,16 +31,23 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused_level import (decoder_level_spec, encoder_level_spec,
-                               fused_level_apply)
+                               fused_level_apply, packed_level_apply_xla)
 from ..ops.packed_conv import pack_nhwc
-from .modules import _channel_widths, embedding_sizes
+from .modules import embedding_sizes
 
-__all__ = ["fused_forward", "fused_supported"]
+__all__ = ["fused_forward", "fused_supported", "packed_train_forward",
+           "packed_to_nchw"]
 
 
 def fused_supported(net):
-    """Whether the fused path covers this network configuration."""
+    """Whether the packed paths cover this network configuration."""
     return not net.skip_connections
+
+
+def packed_to_nchw(y, feature_size, channels):
+    """(B, F*C, T) f-major -> (B, C, F, T)."""
+    b, r, t = y.shape
+    return jnp.transpose(y.reshape(b, feature_size, channels, t), (0, 2, 1, 3))
 
 
 def _latent_matmuls(params, net):
@@ -50,44 +66,48 @@ def _latent_matmuls(params, net):
     return w_lat, b_lat, w_dec, b_dec
 
 
-def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
-                  interpret=False):
-    """Features (B, F, T, C_in) -> coefficients (B, C_out, F, T) NCHW.
+def _apply_level(x, spec, backend, dtype, interpret, remat):
+    if backend == "pallas":
+        fn = partial(fused_level_apply, spec=spec, dtype=dtype,
+                     interpret=interpret)
+    else:
+        fn = partial(packed_level_apply_xla, spec=spec)
+    if remat:
+        fn = jax.checkpoint(fn)
+    return fn(x)
 
-    One decoder pass (``transcribe`` selects the switch). ``dtype`` is the
-    fused-kernel activation storage type (f32 exact / bf16 fast).
-    """
-    feature_size = net.feature_size
-    complexity = net.model_complexity
-    channels = _channel_widths(complexity)
-    sizes, paddings = embedding_sizes(feature_size)
+
+def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
+                  precision="default", interpret=False, remat=False):
+    """Packed features (B, F*C_in, T) -> latents (B, D, T)."""
+    sizes, _ = embedding_sizes(net.feature_size)
     enc = params["encoder"]
-    dec = params["decoder"]
-
-    x = pack_nhwc(features).astype(dtype)
-    # In f32 mode the fused path is exact (5e-7 vs true fp32 per level on
-    # v5e); keep the latent-boundary matmuls at full precision too — the
-    # TPU default multiplies in bf16, and the decoder amplifies latent
-    # noise. bf16 mode keeps the fast default.
-    precision = ("highest" if jnp.dtype(dtype) == jnp.float32 else "default")
-
-    # Encoder: convin fused into level 1.
-    f = feature_size
+    f = net.feature_size
     for i in range(4):
         spec = encoder_level_spec(
             enc[f"block{i + 1}"], f,
             convin_params=enc["convin"] if i == 0 else None)
-        x = fused_level_apply(x, spec, dtype=dtype, interpret=interpret)
+        x = _apply_level(x, spec, backend, dtype, interpret, remat)
         f = sizes[i]
-
-    # Latent boundary (dense matmuls on packed rows).
-    w_lat, b_lat, w_dec, b_dec = _latent_matmuls(params, net)
+    w_lat, b_lat, _, _ = _latent_matmuls(params, net)
     latents = jnp.einsum("rl,brt->blt", w_lat, x.astype(jnp.float32),
                          precision=precision,
                          preferred_element_type=jnp.float32)
-    latents = latents + b_lat[None, :, None]
+    return latents + b_lat[None, :, None]
 
-    # Decoder switch (reference modules.py:119-147 / :780-839).
+
+def decode_packed(params, net, latents, transcribe, backend="pallas",
+                  dtype=jnp.float32, precision="default", interpret=False,
+                  remat=False):
+    """Latents (B, D, T) -> packed coefficients (B, F*C_out, T).
+
+    Applies the decoder switch (reference modules.py:119-147 / :780-839)
+    and the variant output activation (relu/sigmoid) in packed space.
+    """
+    sizes, paddings = embedding_sizes(net.feature_size)
+    dec = params["decoder"]
+    _, _, w_dec, b_dec = _latent_matmuls(params, net)
+
     if net.variant == "film":
         cond = jnp.asarray([float(transcribe), float(not transcribe)],
                            jnp.float32)
@@ -104,22 +124,61 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
                    preferred_element_type=jnp.float32)
     y = jax.nn.elu(y + b_dec[None, :, None]).astype(dtype)
 
-    # Decoder: convout fused into level 4.
     f = sizes[-1]
     for i in range(4):
         spec = decoder_level_spec(
             dec[f"block{i + 1}"], f, output_padding=paddings[i],
             convout_params=dec["convout"] if i == 3 else None)
-        y = fused_level_apply(y, spec, dtype=dtype, interpret=interpret)
+        y = _apply_level(y, spec, backend, dtype, interpret, remat)
         f = spec.items[0][1].f_out
 
-    # Unpack (B, F*C_out, T) f-major -> NCHW (B, C_out, F, T).
-    b, r, t = y.shape
-    c_out = net.in_channels
-    out = jnp.transpose(y.reshape(b, feature_size, c_out, t),
-                        (0, 2, 1, 3)).astype(jnp.float32)
+    y = y.astype(jnp.float32)
     if net.variant == "mag":
-        out = jax.nn.relu(out)
+        y = jax.nn.relu(y)
     elif net.variant == "magdb":
-        out = jax.nn.sigmoid(out)
-    return out
+        y = jax.nn.sigmoid(y)
+    return y
+
+
+def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
+                  interpret=False):
+    """Features (B, F, T, C_in) -> coefficients (B, C_out, F, T) NCHW.
+
+    The fast inference path (Pallas backend). In f32 mode the fused path is
+    exact (83 dB vs a true-fp32 ground truth on v5e, where the flax/XLA
+    path's default bf16 multiplies land at ~16 dB on an untrained decoder),
+    so the latent matmuls run at full precision too; bf16 keeps the fast
+    defaults throughout.
+    """
+    precision = ("highest" if jnp.dtype(dtype) == jnp.float32 else "default")
+    x = pack_nhwc(features).astype(dtype)
+    latents = encode_packed(params, net, x, "pallas", dtype, precision,
+                            interpret)
+    y = decode_packed(params, net, latents, transcribe, "pallas", dtype,
+                      precision, interpret)
+    return packed_to_nchw(y, net.feature_size, net.in_channels)
+
+
+def packed_train_forward(params, net, features, consistency, backend="xla",
+                         remat=True, interpret=False):
+    """Training-mode forward on packed tensors.
+
+    Returns (reconstruction, latents, transcription, transcription_rec,
+    transcription_scr) with all coefficients PACKED (B, F*C, T) — the same
+    quantities as ``TimbreTrapNet.__call__`` (reference modules.py:338-393)
+    in the padding-free layout. ``remat`` checkpoints each level so only
+    packed level inputs are saved for the backward pass.
+    """
+    kw = dict(backend=backend, dtype=jnp.float32, precision="default",
+              interpret=interpret, remat=remat)
+    x = pack_nhwc(features)
+    latents = encode_packed(params, net, x, **kw)
+    reconstruction = decode_packed(params, net, latents, False, **kw)
+    transcription = decode_packed(params, net, latents, True, **kw)
+    if consistency:
+        latents_t = encode_packed(params, net, transcription, **kw)
+        trn_rec = decode_packed(params, net, latents_t, False, **kw)
+        trn_scr = decode_packed(params, net, latents_t, True, **kw)
+    else:
+        trn_rec, trn_scr = None, None
+    return reconstruction, latents, transcription, trn_rec, trn_scr

@@ -98,8 +98,15 @@ class TimbreTrap:
 
     def features_from_audio(self, audio):
         """Audio (B, 1, N) -> network input features, NHWC. Differentiable-free
-        (the reference transform runs under no_grad, cqtwrapper.py:65)."""
-        audio = jax.lax.stop_gradient(jnp.asarray(audio, jnp.float32))
+        (the reference transform runs under no_grad, cqtwrapper.py:65).
+
+        int16 input is accepted and dequantized on device (PCM16 is the
+        native format of WAV/MP3 sources; transferring it halves the
+        host->device bytes on tunneled runtimes)."""
+        audio = jnp.asarray(audio)
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+        audio = jax.lax.stop_gradient(audio.astype(jnp.float32))
         coefficients = self.sliCQ.encode_raw(audio)  # complex (B,1,F,T)
         return self._features_from_complex(coefficients)
 
@@ -309,22 +316,40 @@ class TimbreTrap:
         inputs and short clips take the single fused program.
         """
         if not isinstance(audio, jax.Array):
-            audio_np = np.asarray(audio, np.float32)
+            audio_np = np.asarray(audio)
+            if audio_np.dtype not in (np.int16,):
+                audio_np = audio_np.astype(np.float32, copy=False)
             L = self.sliCQ.block_length
             hop = L // 2
             M = self.sliCQ.max_window_length
             n_blocks = -(-audio_np.shape[-1] // L)
             if n_blocks >= 2 * self.piece_blocks:
+                from concurrent.futures import ThreadPoolExecutor
+
                 P = self.piece_blocks
                 n_pieces = -(-n_blocks // P)
-                pad = [(0, 0)] * (audio_np.ndim - 1)
-                ext = np.pad(audio_np,
-                             pad + [(hop, n_pieces * P * L
-                                     - audio_np.shape[-1] + hop)])
-                segs = [jax.device_put(ext[..., i * P * L:
-                                           (i * P + P) * L + L])
-                        for i in range(n_pieces)]
-                acts = [self._piece_jit(self.params, s) for s in segs]
+                seg_len = P * L + L
+                lead = [(0, 0)] * (audio_np.ndim - 1)
+
+                def piece(i):
+                    # Window [i*P*L - hop, (i+1)*P*L + hop) of the audio;
+                    # interior pieces are pure views (no 53 MB np.pad copy).
+                    a = i * P * L - hop
+                    b = a + seg_len
+                    lo, hi = max(a, 0), min(b, audio_np.shape[-1])
+                    seg = audio_np[..., lo:hi]
+                    if lo > a or hi < b:
+                        seg = np.pad(seg, lead + [(lo - a, b - hi)])
+                    return seg
+
+                # One upload worker keeps transfers streaming back-to-back
+                # while the main thread dispatches each piece's compute as
+                # soon as its data lands — wall time ~ max(upload, compute).
+                with ThreadPoolExecutor(1) as pool:
+                    futs = [pool.submit(jax.device_put, piece(i))
+                            for i in range(n_pieces)]
+                    acts = [self._piece_jit(self.params, f.result())
+                            for f in futs]
                 out = jnp.concatenate(acts, axis=-1)
                 return out[..., :n_blocks * M]
         return self._transcribe_jit(self.params, jnp.asarray(audio))

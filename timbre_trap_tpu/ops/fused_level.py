@@ -32,7 +32,31 @@ from .packed_conv import (BLOCK_ROWS, ConvBlocks, build_conv2d_blocks,
                           build_sconv_blocks, build_tconv_blocks)
 
 __all__ = ["LevelSpec", "encoder_level_spec", "decoder_level_spec",
-           "fused_level_apply"]
+           "fused_level_apply", "packed_level_apply_xla"]
+
+
+def packed_level_apply_xla(x, spec):
+    """Execute a LevelSpec with plain XLA banded einsums (differentiable).
+
+    Same math as the Pallas kernel but each stage is a
+    ``packed_conv_reference`` call on exact (B, R, T) tensors — no VMEM
+    management, no lane-padded transients, autodiff for free. This is the
+    training backend (models/fused.py).
+    """
+    from .packed_conv import packed_conv_reference
+
+    def elu(v):
+        return jax.nn.elu(v)
+
+    cur = x
+    for it in spec.items:
+        if it[0] == "conv":
+            y = packed_conv_reference(cur, it[1])
+            cur = elu(y) if it[2] else y
+        else:
+            h = elu(packed_conv_reference(cur, it[1]))
+            cur = elu(packed_conv_reference(h, it[2])) + cur
+    return cur
 
 # Time halo per side. Must cover the cumulative conv time taps of a level
 # (<= 7) AND make the DMA window tile_t + 2*HALO a multiple of the 128-lane

@@ -96,6 +96,13 @@ def _recon_loss_nchw(reconstructed, target):
     return jnp.mean(jnp.sum(se, axis=(-3, -2)))
 
 
+def _recon_loss_packed(reconstructed, target):
+    """Packed-layout (B, F*C, T) reconstruction loss — the row sum equals
+    the reference's sum over channel+frequency (objectives.py:11-33)."""
+    se = jnp.square(reconstructed - target)
+    return jnp.mean(jnp.sum(se, axis=-2))
+
+
 def _transcription_loss(estimate, target, weighted):
     """(B, F, T) activations vs ground truth (objectives.py:36-74)."""
     loss = jnp.square(estimate - target)
@@ -109,24 +116,69 @@ def _transcription_loss(estimate, target, weighted):
     return jnp.mean(jnp.sum(loss, axis=-2))
 
 
-def make_train_step(model, config: TrainConfig, mpe_batch_size: int):
+def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
+                    conv_backend="flax"):
     """Build the pure train step for a model instance.
 
     step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
     metrics). ``audio`` is (B, 1, N) with the first ``mpe_batch_size``
     samples annotated; ``ground_truth`` is (mpe_batch_size, F, T_frames).
+
+    ``conv_backend``: "flax" applies the flax modules (NHWC convs with NCHW
+    remat boundaries when ``model`` was built with remat); "packed" runs the
+    forward in the packed f-major banded form (models/fused.py) with
+    per-level checkpointing — no lane-padded conv transients, which is what
+    fits the reference training recipe (batch 8 x 9-s crops,
+    train.py:39-101) in single-chip HBM.
     """
     net = model.net
     features_from_audio = model.features_from_audio
     to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
+    packed = conv_backend == "packed"
+    if packed:
+        from ..models.fused import fused_supported
+
+        if not fused_supported(net):
+            raise ValueError("packed training requires skip_connections=False")
     # Under remat, coefficients flow through the loss in NCHW — the saved
     # residuals then have padding-free layouts (see models.modules).
-    nchw = bool(getattr(net, "remat", False))
+    nchw = bool(getattr(net, "remat", False)) and not packed
     recon_loss = _recon_loss_nchw if nchw else _recon_loss_nhwc
     tx = make_optimizer(config)
 
+    def packed_loss_fn(params, features, ground_truth):
+        from ..models.fused import packed_to_nchw, packed_train_forward
+        from ..ops.packed_conv import pack_nhwc
+
+        rec, _, trn, trn_rec, trn_scr = packed_train_forward(
+            params, net, features, consistency)
+        target = pack_nhwc(features)
+        activations = model.to_activations(
+            packed_to_nchw(trn, net.feature_size, net.in_channels))
+        loss_rec = _recon_loss_packed(rec, target)
+        loss_trn = _transcription_loss(activations[:mpe_batch_size],
+                                       ground_truth,
+                                       config.weight_positive_class)
+        metrics = {"loss/reconstruction": loss_rec,
+                   "loss/transcription": loss_trn}
+        total = config.multiplier_reconstruction * loss_rec
+        if consistency:
+            target_c = trn[:mpe_batch_size]
+            loss_sp = _recon_loss_packed(trn_rec[:mpe_batch_size], target_c)
+            loss_sc = _recon_loss_packed(trn_scr[:mpe_batch_size], target_c)
+            metrics["loss/consistency/spectral"] = loss_sp
+            metrics["loss/consistency/score"] = loss_sc
+        if config.transcription_active:
+            total = total + config.multiplier_transcription * loss_trn
+            if consistency:
+                total = total + config.multiplier_consistency * (loss_sp + loss_sc)
+        metrics["loss/total"] = total
+        return total, metrics
+
     def loss_fn(params, features, ground_truth):
+        if packed:
+            return packed_loss_fn(params, features, ground_truth)
         outputs = net.apply({"params": params}, features, consistency,
                             nchw_outputs=nchw)
         reconstruction, _, transcription, trn_rec, trn_scr, aux_losses = outputs

@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--n-epochs-early-stop", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel over the first N devices")
+    p.add_argument("--conv-backend", default="packed",
+                   choices=["packed", "flax"],
+                   help="train-step conv path: 'packed' (banded f-major, "
+                        "fits batch 8 x 9-s on one chip) or 'flax'")
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--n-octaves", type=int, default=9)
@@ -65,7 +69,10 @@ def main():
                        bins_per_octave=args.bins_per_octave, secs_per_block=3,
                        latent_size=128, model_complexity=2,
                        skip_connections=False, seed=args.seed,
-                       remat=True)  # required to fit reference batch/crop on one chip
+                       # remat matters only for the flax backend; the packed
+                       # backend checkpoints per level internally and fits
+                       # the reference batch/crop on one chip either way.
+                       remat=(args.conv_backend == "flax"))
 
     if args.checkpoint_path is not None:
         state = load_checkpoint(args.checkpoint_path)
@@ -135,6 +142,7 @@ def main():
         n_epochs_cooldown=args.n_epochs_cooldown,
         n_epochs_early_stop=args.n_epochs_early_stop,
         n_devices=args.n_devices,
+        conv_backend=args.conv_backend,
         seed=args.seed,
         root_dir=args.root_dir,
     )

@@ -251,3 +251,24 @@ def test_packed_train_step_matches_flax():
     for la, lb in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    atol=5e-4)
+
+
+def test_packed_step_data_parallel_matches_single_device(tiny_model, rng):
+    """The packed (banded) training backend shards over the DP mesh too."""
+    assert jax.device_count() >= 8
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step = make_train_step(tiny_model, cfg, mpe_batch_size=8,
+                           conv_backend="packed")
+    params, opt_state = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 8, 8, rng)
+
+    p1, _, m1 = jax.jit(step)(params, opt_state, audio, gt, 1e-3)
+    mesh = make_mesh(8)
+    sa, sgt = shard_batch(mesh, (audio, gt))
+    p8, _, m8 = shard_train_step(step, mesh)(params, opt_state, sa, sgt, 1e-3)
+
+    assert float(m1["loss/total"]) == pytest.approx(
+        float(m8["loss/total"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)

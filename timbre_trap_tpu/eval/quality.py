@@ -62,7 +62,7 @@ def synthesize_polyphony(cqt, n_tracks, seed=0, midi_range=None,
 
 
 def quality_f1(model, n_tracks=8, steps=120, lr=2e-3, seed=0,
-               batch_size=None):
+               batch_size=None, conv_backend="flax"):
     """Train ``model`` on synthetic polyphony and return its ``mpe/f1-score``.
 
     Mirrors the reference training-validation loop in miniature: seeded
@@ -85,7 +85,7 @@ def quality_f1(model, n_tracks=8, steps=120, lr=2e-3, seed=0,
     batch = batch_size or n_tracks
 
     train_model = model
-    if not model.net.remat:
+    if conv_backend == "flax" and not model.net.remat:
         # Flagship-size training needs rematerialized backward boundaries to
         # fit HBM (docs/PERFORMANCE.md); train on a remat twin, evaluate on
         # the caller's model (identical forward math, same param tree).
@@ -93,7 +93,8 @@ def quality_f1(model, n_tracks=8, steps=120, lr=2e-3, seed=0,
         train_model = type(model)(seed=seed, remat=True, **hp)
 
     cfg = TrainConfig(multiplier_consistency=0.0)
-    step = jax.jit(make_train_step(train_model, cfg, mpe_batch_size=batch))
+    step = jax.jit(make_train_step(train_model, cfg, mpe_batch_size=batch,
+                                   conv_backend=conv_backend))
     params, opt = init_train_state(train_model, cfg)
 
     audio_d = jnp.asarray(audio)

@@ -50,6 +50,10 @@ class TrainerConfig:
     n_epochs_cooldown: int = 100
     n_epochs_early_stop: Optional[int] = None
     n_devices: Optional[int] = None  # None = single device, no mesh
+    # Conv backend for the train step: "flax" (NHWC modules) or "packed"
+    # (banded f-major forward, models/fused.py) — "packed" is what fits the
+    # reference batch recipe (8 x 9-s crops) in single-chip HBM.
+    conv_backend: str = "flax"
     seed: int = 2
     root_dir: str = "runs"
 
@@ -120,7 +124,8 @@ class Trainer:
         key = bool(transcription_active)
         if key not in self._steps:
             cfg = self._train_config(key)
-            step = make_train_step(self.model, cfg, self.mpe_batch_size)
+            step = make_train_step(self.model, cfg, self.mpe_batch_size,
+                                   conv_backend=self.config.conv_backend)
             if self.mesh is not None:
                 self._steps[key] = shard_train_step(step, self.mesh)
             else:

@@ -35,6 +35,9 @@ def _time(fn, iters=3):
 
 def main():
     from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     model = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
                        secs_per_block=3, latent_size=128, model_complexity=2)

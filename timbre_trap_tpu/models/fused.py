@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused_level import (decoder_level_spec, encoder_level_spec,
-                               fused_level_apply, packed_level_apply_xla)
+                               fused_level_apply, make_fused_level_train,
+                               packed_level_apply_xla)
 from ..ops.packed_conv import pack_nhwc
 from .modules import embedding_sizes
 
@@ -70,6 +71,14 @@ def _apply_level(x, spec, backend, dtype, interpret, remat):
     if backend == "pallas":
         fn = partial(fused_level_apply, spec=spec, dtype=dtype,
                      interpret=interpret)
+    elif backend == "pallas_train":
+        # Differentiable fused level: Pallas forward + Pallas backward
+        # (adjoint banded blocks); residuals are just the level input, so no
+        # outer jax.checkpoint is needed.
+        train_fn = make_fused_level_train(spec, interpret=interpret)
+        arrays = (spec.weight_arrays(jnp.float32)
+                  + spec.adjoint_arrays(jnp.float32))
+        return train_fn(x, *arrays)
     else:
         fn = partial(packed_level_apply_xla, spec=spec)
     if remat:
@@ -82,11 +91,13 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
     """Packed features (B, F*C_in, T) -> latents (B, D, T)."""
     sizes, _ = embedding_sizes(net.feature_size)
     enc = params["encoder"]
+    adj = backend == "pallas_train"
     f = net.feature_size
     for i in range(4):
         spec = encoder_level_spec(
             enc[f"block{i + 1}"], f,
-            convin_params=enc["convin"] if i == 0 else None)
+            convin_params=enc["convin"] if i == 0 else None,
+            with_adjoints=adj)
         x = _apply_level(x, spec, backend, dtype, interpret, remat)
         f = sizes[i]
     w_lat, b_lat, _, _ = _latent_matmuls(params, net)
@@ -125,10 +136,12 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
     y = jax.nn.elu(y + b_dec[None, :, None]).astype(dtype)
 
     f = sizes[-1]
+    adj = backend == "pallas_train"
     for i in range(4):
         spec = decoder_level_spec(
             dec[f"block{i + 1}"], f, output_padding=paddings[i],
-            convout_params=dec["convout"] if i == 3 else None)
+            convout_params=dec["convout"] if i == 3 else None,
+            with_adjoints=adj)
         y = _apply_level(y, spec, backend, dtype, interpret, remat)
         f = spec.items[0][1].f_out
 

@@ -32,7 +32,8 @@ from .packed_conv import (BLOCK_ROWS, ConvBlocks, build_conv2d_blocks,
                           build_sconv_blocks, build_tconv_blocks)
 
 __all__ = ["LevelSpec", "encoder_level_spec", "decoder_level_spec",
-           "fused_level_apply", "packed_level_apply_xla"]
+           "fused_level_apply", "packed_level_apply_xla",
+           "make_fused_level_train"]
 
 
 def packed_level_apply_xla(x, spec):
@@ -73,12 +74,29 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+import collections
+
+# Hashable, array-free twins of ConvBlocks / LevelSpec: the kernels only
+# consume static geometry (arrays arrive as separate pallas operands), and
+# custom_vjp nondiff arguments must not carry traced values.
+ConvGeom = collections.namedtuple(
+    "ConvGeom", "dts col_adv margin k r_in r_out n_out_blocks")
+LevelGeom = collections.namedtuple("LevelGeom", "items r_in r_out rb_out")
+
+
+def conv_geom(cb):
+    return ConvGeom(cb.dts, cb.col_adv, cb.margin, cb.k, cb.r_in, cb.r_out,
+                    cb.n_out_blocks)
+
+
 class LevelSpec:
     """Static description of one fused level.
 
     ``items``: sequence of ("conv", cb, act_bool) or ("rb", cb3x3, cb1x1);
     an "rb" is conv3x3+ELU -> conv1x1+ELU -> add(stage input)
-    (reference ``modules.py:721-777``).
+    (reference ``modules.py:721-777``). Each ConvBlocks may carry an
+    ``adjoint`` ConvBlocks (transpose of the conv as another repeating
+    banded conv) when the spec was built ``with_adjoints``.
     """
 
     def __init__(self, items, r_in):
@@ -93,17 +111,39 @@ class LevelSpec:
         last_cb = items[-1][1]
         self.rb_out = _cdiv(self.r_out, BLOCK_ROWS) * BLOCK_ROWS
 
+    def _convs(self):
+        for it in self.items:
+            for cb in it[1:]:
+                if isinstance(cb, ConvBlocks):
+                    yield cb
+
+    def geom(self):
+        items = tuple(
+            (it[0],) + tuple(conv_geom(cb) if isinstance(cb, ConvBlocks)
+                             else cb for cb in it[1:])
+            for it in self.items)
+        return LevelGeom(items, self.r_in, self.r_out, self.rb_out)
+
+    def adjoint_geom(self):
+        items = tuple(
+            (it[0],) + tuple(conv_geom(cb.adjoint)
+                             if isinstance(cb, ConvBlocks) else cb
+                             for cb in it[1:])
+            for it in self.items)
+        return LevelGeom(items, self.r_in, self.r_out, self.rb_out)
+
     def weight_arrays(self, dtype):
         """Flat list of (blocks, bias) arrays in kernel-argument order."""
         out = []
-        for it in self.items:
-            for cb in it[1:]:
-                if not isinstance(cb, ConvBlocks):
-                    continue
-                out.append(jnp.asarray(cb.blocks, dtype))
-                # (128, 1): Mosaic vectors must stay >= 2D (no 1D concats)
-                out.append(jnp.asarray(cb.bias, jnp.float32)[:, None])
+        for cb in self._convs():
+            out.append(jnp.asarray(cb.blocks, dtype))
+            # (128, 1): Mosaic vectors must stay >= 2D (no 1D concats)
+            out.append(jnp.asarray(cb.bias, jnp.float32)[:, None])
         return out
+
+    def adjoint_arrays(self, dtype):
+        """Flat list of adjoint block arrays (one per conv, no biases)."""
+        return [jnp.asarray(cb.adjoint.blocks, dtype) for cb in self._convs()]
 
 
 def _slab_geometry(cb: ConvBlocks):
@@ -114,7 +154,43 @@ def _slab_geometry(cb: ConvBlocks):
     return top, bottom
 
 
-def encoder_level_spec(block_params, f_in, convin_params=None):
+def _zeros_bias(kernel, swapped=True):
+    c = kernel.shape[2] if swapped else kernel.shape[3]
+    return jnp.zeros((c,), jnp.float32)
+
+
+def _attach_conv2d_adjoint(cb, kernel, f_in, dilation):
+    """dX of a SAME 2D conv = SAME conv with flipped taps, channels swapped."""
+    adj_k = jnp.flip(jnp.asarray(kernel, jnp.float32), (0, 1)
+                     ).transpose(0, 1, 3, 2)
+    cb.adjoint = build_conv2d_blocks(adj_k, _zeros_bias(kernel), f_in,
+                                     dilation)
+    return cb
+
+
+def _attach_sconv_adjoint(cb, kernel, f_in, stride=2):
+    """dX of the strided VALID conv = transposed conv with the same kernel,
+    channels swapped, output_padding chosen so f_out == the fwd f_in."""
+    kh = kernel.shape[0]
+    pad = f_in - ((cb.f_out - 1) * stride + kh)
+    adj_k = jnp.asarray(kernel, jnp.float32).transpose(0, 1, 3, 2)
+    cb.adjoint = build_tconv_blocks(adj_k, _zeros_bias(kernel), cb.f_out,
+                                    stride=stride, output_padding=pad)
+    assert cb.adjoint.r_out == cb.r_in
+    return cb
+
+
+def _attach_tconv_adjoint(cb, kernel, stride=2):
+    """dX of the transposed conv = strided VALID conv, channels swapped."""
+    adj_k = jnp.asarray(kernel, jnp.float32).transpose(0, 1, 3, 2)
+    cb.adjoint = build_sconv_blocks(adj_k, _zeros_bias(kernel), cb.f_out,
+                                    stride=stride)
+    assert cb.adjoint.r_out == cb.r_in, (cb.adjoint.r_out, cb.r_in)
+    return cb
+
+
+def encoder_level_spec(block_params, f_in, convin_params=None,
+                       with_adjoints=False):
     """LevelSpec for an EncoderBlock (+ optionally the preceding convin).
 
     ``block_params``: flax param dict with block1..block3 (each conv1,
@@ -124,6 +200,8 @@ def encoder_level_spec(block_params, f_in, convin_params=None):
     if convin_params is not None:
         cb = build_conv2d_blocks(convin_params["kernel"],
                                  convin_params["bias"], f_in, 1)
+        if with_adjoints:
+            _attach_conv2d_adjoint(cb, convin_params["kernel"], f_in, 1)
         items.append(("conv", cb, True))
     for i, d in enumerate((1, 2, 3)):
         rb = block_params[f"block{i + 1}"]
@@ -131,16 +209,21 @@ def encoder_level_spec(block_params, f_in, convin_params=None):
                                   f_in, d)
         cb2 = build_conv2d_blocks(rb["conv2"]["kernel"], rb["conv2"]["bias"],
                                   f_in, 1)
+        if with_adjoints:
+            _attach_conv2d_adjoint(cb1, rb["conv1"]["kernel"], f_in, d)
+            _attach_conv2d_adjoint(cb2, rb["conv2"]["kernel"], f_in, 1)
         items.append(("rb", cb1, cb2))
     sc = block_params["sconv"]
-    items.append(("conv", build_sconv_blocks(sc["kernel"], sc["bias"], f_in,
-                                             stride=2), True))
+    cbs = build_sconv_blocks(sc["kernel"], sc["bias"], f_in, stride=2)
+    if with_adjoints:
+        _attach_sconv_adjoint(cbs, sc["kernel"], f_in, stride=2)
+    items.append(("conv", cbs, True))
     r_in = items[0][1].r_in
     return LevelSpec(items, r_in)
 
 
 def decoder_level_spec(block_params, f_in, output_padding=0,
-                       convout_params=None):
+                       convout_params=None, with_adjoints=False):
     """LevelSpec for a DecoderBlock (+ optionally the trailing convout).
 
     Reference geometry ``modules.py:658-718``; convout ``modules.py:543``.
@@ -148,6 +231,8 @@ def decoder_level_spec(block_params, f_in, output_padding=0,
     tc = block_params["tconv"]
     cb_t = build_tconv_blocks(tc["kernel"], tc["bias"], f_in, stride=2,
                               output_padding=output_padding)
+    if with_adjoints:
+        _attach_tconv_adjoint(cb_t, tc["kernel"], stride=2)
     items = [("conv", cb_t, True)]
     f_mid = cb_t.f_out
     for i, d in enumerate((1, 2, 3)):
@@ -156,10 +241,15 @@ def decoder_level_spec(block_params, f_in, output_padding=0,
                                   f_mid, d)
         cb2 = build_conv2d_blocks(rb["conv2"]["kernel"], rb["conv2"]["bias"],
                                   f_mid, 1)
+        if with_adjoints:
+            _attach_conv2d_adjoint(cb1, rb["conv1"]["kernel"], f_mid, d)
+            _attach_conv2d_adjoint(cb2, rb["conv2"]["kernel"], f_mid, 1)
         items.append(("rb", cb1, cb2))
     if convout_params is not None:
         cb = build_conv2d_blocks(convout_params["kernel"],
                                  convout_params["bias"], f_mid, 1)
+        if with_adjoints:
+            _attach_conv2d_adjoint(cb, convout_params["kernel"], f_mid, 1)
         items.append(("conv", cb, False))
     return LevelSpec(items, cb_t.r_in)
 
@@ -185,15 +275,16 @@ def _shift_t(x, dt):
     return jnp.concatenate([zeros, x[:, :w + dt]], axis=1)
 
 
-def _conv_stage(slab, cb, blocks_ref, bias_ref, acc_dtype=jnp.float32):
+def _conv_stage(slab, cb, blocks_ref, bias_ref, precision=None,
+                acc_dtype=jnp.float32):
     """Banded conv on a zero-margined slab value -> (rb*128, W) f32 value."""
     nb = cb.n_out_blocks
     outs = []
-    bias = bias_ref[:]  # (128, 1), broadcasts over the time axis
-    # f32 storage means the caller wants true fp32 math: force full-precision
-    # MXU passes (TPU "default" precision multiplies in bf16).
-    precision = (jax.lax.Precision.HIGHEST
-                 if slab.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    bias = None if bias_ref is None else bias_ref[:]  # (128, 1)
+    if precision is None:
+        # f32 storage means the caller wants true fp32 math: force
+        # full-precision MXU passes (the TPU default multiplies in bf16).
+        precision = ("highest" if slab.dtype == jnp.float32 else "default")
     for j in range(nb):
         start = j * cb.col_adv  # slab already starts margin rows above row 0
         acc = bias
@@ -204,9 +295,22 @@ def _conv_stage(slab, cb, blocks_ref, bias_ref, acc_dtype=jnp.float32):
             term = jax.lax.dot_general(
                 blocks_ref[di], xsl, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=acc_dtype)
-            acc = acc + term
+            acc = term if acc is None else acc + term
         outs.append(acc)
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _elu_grad(z):
+    return jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+
+
+def _adjoint_apply(dz, g_adj, blocks_ref, precision):
+    """Backprop a conv: cotangent (>= r_in rows, W) -> (r_out rows, W)."""
+    top, bottom = _slab_geometry(g_adj)
+    slab = _make_slab(dz.astype(jnp.float32), top, bottom, g_adj.r_in,
+                      jnp.float32)
+    y = _conv_stage(slab, g_adj, blocks_ref, None, precision)
+    return y[:g_adj.r_out]
 
 
 def _make_slab(y, cb_next_top, cb_next_bottom, r_valid, dtype):
@@ -215,10 +319,10 @@ def _make_slab(y, cb_next_top, cb_next_bottom, r_valid, dtype):
     return jnp.pad(y.astype(dtype), ((cb_next_top, cb_next_bottom), (0, 0)))
 
 
-def _level_kernel(spec: LevelSpec, dtype, tile_t, t_total, x_hbm, *args):
+def _level_kernel(spec, dtype, tile_t, t_total, precision, x_hbm, *args):
     # args layout: [w0, b0, w1, b1, ...], o_ref, xv scratch, sem
-    n_w = sum(2 for it in spec.items
-              for cb in it[1:] if isinstance(cb, ConvBlocks))
+    # ``spec`` is a LevelSpec or its array-free LevelGeom twin.
+    n_w = 2 * _n_convs(spec)
     weights = args[:n_w]
     o_ref, xv, sem = args[n_w], args[n_w + 1], args[n_w + 2]
 
@@ -246,19 +350,21 @@ def _level_kernel(spec: LevelSpec, dtype, tile_t, t_total, x_hbm, *args):
     for idx, it in enumerate(spec.items):
         if it[0] == "conv":
             cb, act = it[1], it[2]
-            y = _conv_stage(slab, cb, weights[wi], weights[wi + 1])
+            y = _conv_stage(slab, cb, weights[wi], weights[wi + 1],
+                            precision)
             wi += 2
             if act:
                 y = _elu(y)
             r_cur = cb.r_out
         else:
             cb1, cb2 = it[1], it[2]
-            h = _elu(_conv_stage(slab, cb1, weights[wi],
-                                       weights[wi + 1]))
+            h = _elu(_conv_stage(slab, cb1, weights[wi], weights[wi + 1],
+                                 precision))
             wi += 2
             # 1x1 conv: aligned 128-row blocks, margin 0 -> slab is h itself
             h = h.astype(dtype)
-            y = _elu(_conv_stage(h, cb2, weights[wi], weights[wi + 1]))
+            y = _elu(_conv_stage(h, cb2, weights[wi], weights[wi + 1],
+                                 precision))
             wi += 2
             top = cb1.margin
             y = y[:r_cur] + slab[top:top + r_cur].astype(jnp.float32)
@@ -272,6 +378,165 @@ def _level_kernel(spec: LevelSpec, dtype, tile_t, t_total, x_hbm, *args):
             o_ref[0, :, :] = out[:, HALO:HALO + tile_t].astype(o_ref.dtype)
 
 
+# --------------------------------------------------------------------- #
+# Training: custom-VJP fused level (Pallas forward + Pallas backward)    #
+# --------------------------------------------------------------------- #
+
+def _n_convs(geom):
+    return sum(1 if it[0] == "conv" else 2 for it in geom.items)
+
+
+def _item_fwd(slab, it, ws, col_ok, dtype, precision, return_inners=False):
+    """One item's forward on a margined slab value.
+
+    Returns (y (r rows, W), r, inners) where inners holds the
+    pre-activations needed for the item's backward when requested.
+    """
+    if it[0] == "conv":
+        g, act = it[1], it[2]
+        z = _conv_stage(slab, g, ws[0], ws[1], precision)[:g.r_out]
+        y = _elu(z) if act else z
+        return y, g.r_out, (z,)
+    g1, g2 = it[1], it[2]
+    r = g1.r_out
+    h1 = _conv_stage(slab, g1, ws[0], ws[1], precision)[:r]
+    a1 = _elu(h1)
+    top2, bot2 = _slab_geometry(g2)
+    a1s = _make_slab(a1, top2, bot2, r, dtype)
+    h2 = _conv_stage(a1s, g2, ws[2], ws[3], precision)[:r]
+    top = it[1].margin
+    y = _elu(h2) + slab[top:top + r].astype(jnp.float32)
+    if return_inners:
+        return y, r, (h1, a1s, h2)
+    return y, r, ()
+
+
+def _replay_to(xv, geom, weights, idx, col_ok, dtype, precision):
+    """Recompute the margined input slab of item ``idx`` from the x tile."""
+    slab = xv[:, :]
+    wi = 0
+    for i2 in range(idx):
+        it = geom.items[i2]
+        n_w = 2 if it[0] == "conv" else 4
+        y, r, _ = _item_fwd(slab, it, weights[wi:wi + n_w], col_ok, dtype,
+                            precision)
+        wi += n_w
+        y = jnp.where(col_ok, y, 0.0)
+        nxt = geom.items[i2 + 1][1]
+        t_next, b_next = _slab_geometry(nxt)
+        slab = _make_slab(y, t_next, b_next, r, dtype)
+    return slab
+
+
+def _accum_dw(dw_ref, db_ref, dz_masked, in_slab, g, first, precision):
+    """dBlocks += sum_j dZ_j @ shift_dt(x_window_j)^T; dBias += row sums."""
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    # Pad the cotangent to whole 128-row blocks (zero rows contribute 0).
+    pad_rows = g.n_out_blocks * BLOCK_ROWS - dz_masked.shape[0]
+    if pad_rows:
+        dz_masked = jnp.pad(dz_masked, ((0, pad_rows), (0, 0)))
+    db = None
+    for di, dt in enumerate(g.dts):
+        acc = None
+        for j in range(g.n_out_blocks):
+            dzj = dz_masked[j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS, :]
+            xsl = _shift_t(
+                in_slab[j * g.col_adv:j * g.col_adv + g.k, :], dt)
+            term = jax.lax.dot_general(
+                dzj, xsl.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+            if di == 0:
+                s = jnp.sum(dzj, axis=1, keepdims=True)
+                db = s if db is None else db + s
+        dw_ref[di] = dw_ref[di] + acc
+    db_ref[...] = db_ref[...] + db
+
+
+def _level_bwd_kernel(geom, adj_geom, dtype, tile_t, t_total, precision,
+                      x_hbm, dy_hbm, *args):
+    n_conv = _n_convs(geom)
+    weights = args[:2 * n_conv]
+    adjs = args[2 * n_conv:3 * n_conv]
+    rest = args[3 * n_conv:]
+    dx_ref = rest[0]
+    dw_refs = rest[1:1 + 2 * n_conv:2]
+    db_refs = rest[2:2 + 2 * n_conv:2]
+    xv, dyv, semx, semy = rest[1 + 2 * n_conv:]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    first = (b == 0) & (j == 0)
+    w_t = tile_t + 2 * HALO
+    cx = pltpu.make_async_copy(x_hbm.at[b, :, pl.ds(j * tile_t, w_t)], xv,
+                               semx)
+    cy = pltpu.make_async_copy(dy_hbm.at[b, :, pl.ds(j * tile_t, w_t)], dyv,
+                               semy)
+    cx.start()
+    cy.start()
+    cx.wait()
+    cy.wait()
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, w_t), 1)
+    col_global = j * tile_t + local - HALO
+    col_ok = ((col_global >= 0) & (col_global < t_total))
+    # dW must count every real column exactly once: only this tile's center.
+    dw_mask = col_ok & (local >= HALO) & (local < HALO + tile_t)
+
+    n_items = len(geom.items)
+    w_offsets = []
+    wi = 0
+    for it in geom.items:
+        w_offsets.append(wi)
+        wi += 2 if it[0] == "conv" else 4
+    conv_idx = []
+    ci = 0
+    for it in geom.items:
+        conv_idx.append(ci)
+        ci += 1 if it[0] == "conv" else 2
+
+    dY = dyv[:, :][:geom.r_out].astype(jnp.float32)
+    for idx in reversed(range(n_items)):
+        slab_in = _replay_to(xv, geom, weights, idx, col_ok, dtype, precision)
+        it = geom.items[idx]
+        ad = adj_geom.items[idx]
+        wi = w_offsets[idx]
+        ci = conv_idx[idx]
+        if it[0] == "conv":
+            g, act = it[1], it[2]
+            z = _conv_stage(slab_in, g, weights[wi], weights[wi + 1],
+                            precision)[:g.r_out]
+            dZ = dY * _elu_grad(z) if act else dY
+            dZm = jnp.where(dw_mask, dZ, 0.0)
+            _accum_dw(dw_refs[ci], db_refs[ci], dZm, slab_in, g, first,
+                      precision)
+            dY = _adjoint_apply(dZ, ad[1], adjs[ci], precision)
+        else:
+            g1, g2 = it[1], it[2]
+            _, r, (h1, a1s, h2) = _item_fwd(
+                slab_in, it, weights[wi:wi + 4], col_ok, dtype, precision,
+                return_inners=True)
+            dH2 = dY * _elu_grad(h2)
+            dH2m = jnp.where(dw_mask, dH2, 0.0)
+            _accum_dw(dw_refs[ci + 1], db_refs[ci + 1], dH2m, a1s, g2,
+                      first, precision)
+            dA1 = _adjoint_apply(dH2, ad[2], adjs[ci + 1], precision)
+            dH1 = dA1 * _elu_grad(h1)
+            dH1m = jnp.where(dw_mask, dH1, 0.0)
+            _accum_dw(dw_refs[ci], db_refs[ci], dH1m, slab_in, g1, first,
+                      precision)
+            dY = _adjoint_apply(dH1, ad[1], adjs[ci], precision) + dY
+        dY = jnp.where(col_ok, dY, 0.0)
+
+    rb_in = _cdiv(geom.r_in, BLOCK_ROWS) * BLOCK_ROWS
+    out = jnp.pad(dY, ((0, rb_in - geom.r_in), (0, 0)))
+    dx_ref[0, :, :] = out[:, HALO:HALO + tile_t].astype(dx_ref.dtype)
+
+
 def fused_level_apply(x, spec: LevelSpec, dtype=jnp.float32,
                       tile_t=None, interpret=False):
     """Run one fused level on packed input (B, R_in, T) -> (B, R_out, T).
@@ -282,15 +547,23 @@ def fused_level_apply(x, spec: LevelSpec, dtype=jnp.float32,
     """
     if tile_t is None:
         tile_t = default_tile_t(dtype)
-    b, r_in, t = x.shape
-    assert r_in == spec.r_in, (r_in, spec.r_in)
-    assert tile_t % BLOCK_ROWS == 0, "tile_t must be lane-tile aligned"
-    first_cb = spec.items[0][1]
-    top, bottom = _slab_geometry(first_cb)
-    # Row extent padded to the sublane tile so the DMA slice is aligned.
+    weights = spec.weight_arrays(dtype)
+    return _pallas_fwd_call(spec.geom(), x, weights, dtype, tile_t,
+                            interpret, None)
+
+
+def _pad_slab_rows(geom_first_conv, r_in):
+    top, bottom = _slab_geometry(geom_first_conv)
     r_slab = top + r_in + bottom
     bottom += -r_slab % 32
-    r_slab = top + r_in + bottom
+    return top, bottom, top + r_in + bottom
+
+
+def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision):
+    b, r_in, t = x.shape
+    assert r_in == geom.r_in, (r_in, geom.r_in)
+    assert tile_t % BLOCK_ROWS == 0, "tile_t must be lane-tile aligned"
+    top, bottom, r_slab = _pad_slab_rows(geom.items[0][1], r_in)
 
     n_t = _cdiv(t, tile_t)
     pad_t = n_t * tile_t - t
@@ -298,23 +571,121 @@ def fused_level_apply(x, spec: LevelSpec, dtype=jnp.float32,
                  ((0, 0), (top, bottom), (HALO, HALO + pad_t)))
     w_t = tile_t + 2 * HALO
 
-    weights = spec.weight_arrays(dtype)
     # biases stay f32: weight_arrays interleaves (blocks dtype, bias f32)
-    kernel = partial(_level_kernel, spec, dtype, tile_t, t)
+    kernel = partial(_level_kernel, geom, dtype, tile_t, t, precision)
 
     out = pl.pallas_call(
         kernel,
         grid=(b, n_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec((1, spec.rb_out, tile_t),
+        out_specs=pl.BlockSpec((1, geom.rb_out, tile_t),
                                lambda bi, ji: (bi, 0, ji),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, spec.rb_out, n_t * tile_t), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, geom.rb_out, n_t * tile_t), dtype),
         scratch_shapes=[pltpu.VMEM((r_slab, w_t), dtype),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, *weights)
-    return out[:, :spec.r_out, :t]
+    return out[:, :geom.r_out, :t]
+
+
+def _pallas_bwd_call(geom, adj_geom, x, dy, weights, adjs, dtype, tile_t,
+                     interpret, precision):
+    b, r_in, t = x.shape
+    top, bottom, r_slab = _pad_slab_rows(geom.items[0][1], r_in)
+    n_t = _cdiv(t, tile_t)
+    pad_t = n_t * tile_t - t
+    xp = jnp.pad(x.astype(dtype),
+                 ((0, 0), (top, bottom), (HALO, HALO + pad_t)))
+    dy_rows = geom.rb_out + (-geom.rb_out % 32)
+    dyp = jnp.pad(dy.astype(jnp.float32),
+                  ((0, 0), (0, dy_rows - geom.r_out), (HALO, HALO + pad_t)))
+    w_t = tile_t + 2 * HALO
+    rb_in = _cdiv(geom.r_in, BLOCK_ROWS) * BLOCK_ROWS
+
+    kernel = partial(_level_bwd_kernel, geom, adj_geom, dtype, tile_t, t,
+                     precision)
+    n_conv = _n_convs(geom)
+    dw_shapes = []
+    for i in range(n_conv):
+        dw_shapes.append(jax.ShapeDtypeStruct(weights[2 * i].shape,
+                                              jnp.float32))
+        dw_shapes.append(jax.ShapeDtypeStruct(weights[2 * i + 1].shape,
+                                              jnp.float32))
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def _zero_map(ndim):
+        return lambda bi, ji: (0,) * ndim
+
+    reduce_specs = [
+        pl.BlockSpec(w.shape, _zero_map(len(w.shape)),
+                     memory_space=pltpu.VMEM)
+        for w in dw_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)] +
+                 [const_spec] * (3 * n_conv),
+        out_specs=[pl.BlockSpec((1, rb_in, tile_t),
+                                lambda bi, ji: (bi, 0, ji),
+                                memory_space=pltpu.VMEM)] + reduce_specs,
+        out_shape=[jax.ShapeDtypeStruct((b, rb_in, n_t * tile_t),
+                                        jnp.float32)] + dw_shapes,
+        scratch_shapes=[pltpu.VMEM((r_slab, w_t), dtype),
+                        pltpu.VMEM((dy_rows, w_t), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dyp, *weights, *adjs)
+    dx = outs[0][:, :r_in, :t]
+    return dx, outs[1:]
+
+
+def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
+                           precision="default"):
+    """Differentiable fused level: Pallas forward AND Pallas backward.
+
+    Returns ``fn(x, *arrays)`` where ``arrays = spec.weight_arrays(f32) +
+    spec.adjoint_arrays(f32)``; the VJP computes dX with the adjoint banded
+    blocks and d(blocks)/d(bias) with per-block outer-product matmuls, so
+    jax's autodiff of the (gather-built) blocks scatters gradients back to
+    the flax kernels. The adjoint arrays receive zero cotangent (they are
+    rearrangements of the same parameters; their gradient flows through the
+    forward blocks). ``precision="default"`` matches the training-path
+    numerics of the XLA backends.
+    """
+    geom = spec.geom()
+    adj_geom = spec.adjoint_geom()
+    n_conv = _n_convs(geom)
+    dtype = jnp.float32
+    tt = tile_t or default_tile_t(dtype)
+
+    def primal(x, *arrays):
+        return _pallas_fwd_call(geom, x, list(arrays[:2 * n_conv]), dtype,
+                                tt, interpret, precision)
+
+    @jax.custom_vjp
+    def f(x, *arrays):
+        return primal(x, *arrays)
+
+    def f_fwd(x, *arrays):
+        return primal(x, *arrays), (x,) + tuple(arrays)
+
+    def f_bwd(res, gy):
+        x = res[0]
+        weights = list(res[1:1 + 2 * n_conv])
+        adjs = list(res[1 + 2 * n_conv:])
+        dx, dws = _pallas_bwd_call(geom, adj_geom, x, gy, weights, adjs,
+                                   dtype, tt, interpret, precision)
+        dadj = tuple(jnp.zeros_like(a) for a in adjs)
+        return (dx,) + tuple(dws) + dadj
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

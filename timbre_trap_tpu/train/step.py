@@ -129,13 +129,15 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     forward in the packed f-major banded form (models/fused.py) with
     per-level checkpointing — no lane-padded conv transients, which is what
     fits the reference training recipe (batch 8 x 9-s crops,
-    train.py:39-101) in single-chip HBM.
+    train.py:39-101) in single-chip HBM; "pallas" additionally executes
+    each level as the fused Pallas kernels with a custom-VJP Pallas
+    backward (adjoint banded blocks).
     """
     net = model.net
     features_from_audio = model.features_from_audio
     to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
-    packed = conv_backend == "packed"
+    packed = conv_backend in ("packed", "pallas")
     if packed:
         from ..models.fused import fused_supported
 
@@ -152,7 +154,9 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
         from ..ops.packed_conv import pack_nhwc
 
         rec, _, trn, trn_rec, trn_scr = packed_train_forward(
-            params, net, features, consistency)
+            params, net, features, consistency,
+            backend="pallas_train" if conv_backend == "pallas" else "xla",
+            remat=conv_backend != "pallas")
         target = pack_nhwc(features)
         activations = model.to_activations(
             packed_to_nchw(trn, net.feature_size, net.in_channels))

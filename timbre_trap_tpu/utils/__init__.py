@@ -1,3 +1,4 @@
+from .cache import enable_persistent_compilation_cache
 from .processing import to_array, debug_nans, filter_non_peaks, threshold
 from .experiments import (seed_everything, print_and_log,
                           enable_nan_debugging, MultipitchEvaluator,
@@ -6,6 +7,7 @@ from .experiments import (seed_everything, print_and_log,
                           log_gradient_norms)
 
 __all__ = [
+    "enable_persistent_compilation_cache",
     "to_array",
     "debug_nans",
     "filter_non_peaks",

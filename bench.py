@@ -84,7 +84,8 @@ def main():
         for attempt in range(3):
             try:
                 mpe_f1 = round(quality_f1(model, n_tracks=8, steps=120,
-                                          lr=2e-3, seed=0, batch_size=4), 5)
+                                          lr=2e-3, seed=0, batch_size=4,
+                                          conv_backend="pallas"), 5)
                 break
             except Exception as exc:  # noqa: BLE001 - report, don't die
                 print(f"# quality_f1 attempt {attempt + 1} failed: {exc}",

@@ -64,7 +64,16 @@ def main():
     gt = (rng.uniform(size=(4, model.sliCQ.n_bins, M)) > 0.97).astype(np.float32)
     audio, gt = shard_global_batch(mesh, (audio, gt))
 
-    params, opt_state, metrics = sharded_step(params, opt_state, audio, gt, 1e-3)
+    # AOT-compile first, then meet at the coordination-service barrier
+    # (long timeout) before executing: Gloo's rendezvous during execution
+    # only waits ~30 s, and compile-time skew between the two processes
+    # (cold caches, loaded CPU) is routinely larger than that.
+    compiled = sharded_step.lower(params, opt_state, audio, gt, 1e-3).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("tt_post_compile",
+                                              timeout_in_ms=540_000)
+    params, opt_state, metrics = compiled(params, opt_state, audio, gt, 1e-3)
     print(f"LOSS {float(metrics['loss/total']):.6f}", flush=True)
 
 

@@ -273,9 +273,10 @@ class TimbreTrap:
         Keeping the whole pipeline in one jit removes ~30% of wall time vs
         eager pads + a separate activation pass on large outputs.
         """
-        coefficients = self._chunked_fn(params, self._pad_for_chunks(audio),
-                                        True)
-        return self.to_activations(coefficients)
+        with self._analysis_ctx():
+            coefficients = self._chunked_fn(
+                params, self._pad_for_chunks(audio), True)
+            return self.to_activations(coefficients)
 
     def _reconstruct_fn(self, params, audio):
         """Fused pad -> chunked inference -> inverse sliCQ -> normalize."""
@@ -297,6 +298,22 @@ class TimbreTrap:
     # wall time ~ max(total upload, total compute) instead of their sum.
     piece_blocks = 16
 
+    def _analysis_ctx(self):
+        """FFT precision for transcription analysis (trace-time context).
+
+        The exact (HIGHEST) transform is required for reconstruction and
+        training targets; transcription activations (tanh of magnitudes,
+        then peak-picked) are insensitive, so the fused fast path also runs
+        the analysis DFT matmuls at the TPU-native bf16 rate.
+        """
+        from ..ops.fft import fft_precision
+
+        if self._use_fused() and self.fused != "f32":
+            return fft_precision("default")
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _piece_fn(self, params, segment):
         """Chunk-scan + activations over one pre-extended audio piece.
 
@@ -305,7 +322,9 @@ class TimbreTrap:
         the ``_pad_for_chunks`` form of a piece — ``_chunked_fn`` then
         yields precisely the piece's frames.
         """
-        return self.to_activations(self._chunked_fn(params, segment, True))
+        with self._analysis_ctx():
+            return self.to_activations(
+                self._chunked_fn(params, segment, True))
 
     def transcribe(self, audio):
         """Audio (B,1,N) -> multi-pitch activations (B,F,T).

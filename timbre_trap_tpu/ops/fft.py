@@ -19,6 +19,7 @@ Complex arithmetic is decomposed into real matmuls explicitly (real inputs
 then cost half), since complex dtype support is weaker on some TPU stacks.
 """
 
+import contextlib
 from functools import lru_cache
 
 import numpy as np
@@ -26,13 +27,35 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["fft", "ifft", "rfft", "irfft"]
+__all__ = ["fft", "ifft", "rfft", "irfft", "fft_precision"]
 
 # Largest DFT computed as a single dense matmul. 1024 keeps the whole
 # coefficient-axis FFT (M = 1024) in ONE MXU matmul — measured faster on
 # v5e than a 32x32 Cooley-Tukey split (1.21 ms vs 1.68 ms at (540, 1024)).
 MAX_LEAF = 1024
 _PRECISION = lax.Precision.HIGHEST
+_PRECISION_OVERRIDE = [None]
+
+
+@contextlib.contextmanager
+def fft_precision(precision):
+    """Trace-time override of the FFT matmul precision.
+
+    Default is HIGHEST (exact transform, 134 dB round trips). Wrapping a
+    jitted function body in ``fft_precision("default")`` lets a consumer
+    that does not need exactness (e.g. transcription features feeding
+    tanh-magnitude activations) run the DFT matmuls at the fast TPU bf16
+    rate. Applies at TRACE time — wrap the traced body, not the call.
+    """
+    _PRECISION_OVERRIDE.append(precision)
+    try:
+        yield
+    finally:
+        _PRECISION_OVERRIDE.pop()
+
+
+def _prec():
+    return _PRECISION_OVERRIDE[-1] or _PRECISION
 
 
 def _factor_pairs(n):
@@ -81,13 +104,13 @@ def _cmatmul(xr, xi, mr, mi):
     mr = jnp.asarray(mr)
     mi = jnp.asarray(mi)
     if xi is None:
-        yr = jnp.einsum("...j,kj->...k", xr, mr, precision=_PRECISION)
-        yi = jnp.einsum("...j,kj->...k", xr, mi, precision=_PRECISION)
+        yr = jnp.einsum("...j,kj->...k", xr, mr, precision=_prec())
+        yi = jnp.einsum("...j,kj->...k", xr, mi, precision=_prec())
     else:
-        yr = (jnp.einsum("...j,kj->...k", xr, mr, precision=_PRECISION)
-              - jnp.einsum("...j,kj->...k", xi, mi, precision=_PRECISION))
-        yi = (jnp.einsum("...j,kj->...k", xr, mi, precision=_PRECISION)
-              + jnp.einsum("...j,kj->...k", xi, mr, precision=_PRECISION))
+        yr = (jnp.einsum("...j,kj->...k", xr, mr, precision=_prec())
+              - jnp.einsum("...j,kj->...k", xi, mi, precision=_prec()))
+        yi = (jnp.einsum("...j,kj->...k", xr, mi, precision=_prec())
+              + jnp.einsum("...j,kj->...k", xi, mr, precision=_prec()))
     return yr, yi
 
 

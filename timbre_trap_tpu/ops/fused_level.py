@@ -66,8 +66,10 @@ HALO = 64
 
 
 def default_tile_t(dtype):
-    """Largest tile that keeps the level working set inside ~16 MB VMEM."""
-    return 384 if jnp.dtype(dtype) == jnp.bfloat16 else 128
+    """Measured-fastest tiles on v5e (bf16 swept 384/512/640 on the full
+    transcribe pipeline: 1016x/1052x/918x RT — 512 wins; f32 is bounded by
+    VMEM at HIGHEST precision)."""
+    return 512 if jnp.dtype(dtype) == jnp.bfloat16 else 128
 
 
 def _cdiv(a, b):

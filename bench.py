@@ -27,10 +27,12 @@ import numpy as np
 
 def _time(fn, iters=3):
     fn()  # warm-up / compile
-    start = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        start = time.perf_counter()
         fn()
-    return (time.perf_counter() - start) / iters
+        best = min(best, time.perf_counter() - start)
+    return best  # min-of-iters: robust to tunnel/host jitter
 
 
 def main():

@@ -123,9 +123,17 @@ class Trainer:
         """Jitted (and optionally sharded) step per late-start phase."""
         key = bool(transcription_active)
         if key not in self._steps:
+            backend = self.config.conv_backend
+            if self.mesh is not None and backend == "pallas":
+                # Sharded-jit partitioning of pallas_call is not validated
+                # on this stack; mesh runs take the banded-XLA twin (same
+                # math, proven 8-device parity in tests/test_train.py).
+                print("conv_backend='pallas' + mesh: using the banded-XLA "
+                      "'packed' backend for the sharded step.")
+                backend = "packed"
             cfg = self._train_config(key)
             step = make_train_step(self.model, cfg, self.mpe_batch_size,
-                                   conv_backend=self.config.conv_backend)
+                                   conv_backend=backend)
             if self.mesh is not None:
                 self._steps[key] = shard_train_step(step, self.mesh)
             else:

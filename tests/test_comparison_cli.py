@@ -58,6 +58,46 @@ def test_comparison_baselines_run(toy_bach10):
     assert float(lin.group(1)) > 0.3
 
 
+def test_parity_cli(toy_bach10, tmp_path):
+    """experiments/parity.py runs the full tt-orig.pt recipe end to end:
+    torch .pt checkpoint -> layout import -> cqt_pytorch-compat frame ->
+    reference evaluation protocol -> BASELINE table + JSON."""
+    import torch
+
+    from timbre_trap_tpu.interop import export_torch_state_dict
+    from timbre_trap_tpu.models import TimbreTrap
+
+    model = TimbreTrap(sample_rate=22050, n_octaves=6, bins_per_octave=12,
+                       secs_per_block=3, latent_size=32, model_complexity=1)
+    ckpt = str(tmp_path / "tt-toy.pt")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+                export_torch_state_dict(model.params).items()}, ckpt)
+
+    out_json = str(tmp_path / "parity.json")
+    code = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = ['x', '--checkpoint', {ckpt!r}, '--datasets', 'Bach10',"
+        f" '--base-dirs', {toy_bach10!r},"
+        " '--n-octaves', '6', '--bins-per-octave', '12',"
+        " '--latent-size', '32', '--model-complexity', '1',"
+        f" '--out', {out_json!r}]; "
+        f"runpy.run_path({os.path.join(REPO, 'experiments', 'parity.py')!r},"
+        " run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=840)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "| Bach10 |" in out.stdout, out.stdout[-2000:]
+    import json
+
+    with open(out_json) as fh:
+        results = json.load(fh)
+    assert results["compat"] == "cqt_pytorch"
+    assert "mpe/f1-score" in results["results"]["Bach10"]
+    assert np.isfinite(results["results"]["Bach10"]["loss/total"])
+
+
 def test_evaluate_cli(toy_bach10, tmp_path):
     """The evaluate CLI loads a checkpoint and prints per-set results."""
     from timbre_trap_tpu.models import TimbreTrap

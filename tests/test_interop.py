@@ -18,7 +18,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from timbre_trap_tpu.interop import import_torch_state_dict
+from timbre_trap_tpu.interop import (export_torch_state_dict,
+                                     import_torch_state_dict)
 from timbre_trap_tpu.models import TimbreTrapNet
 
 REFERENCE_PATH = "/root/reference"
@@ -91,6 +92,55 @@ def test_encoder_decoder_parity(reference_modules, feature_size, latent,
                         method="decode")
     np.testing.assert_allclose(np.moveaxis(np.asarray(got_out), -1, 1),
                                ref_out.numpy(), atol=2e-4)
+
+
+def test_export_import_round_trip():
+    """export_torch_state_dict is the exact inverse of the importer."""
+    net = TimbreTrapNet(feature_size=60, latent_size=16, model_complexity=1)
+    x = jnp.zeros((1, 60, 4, 2))
+    params = jax.tree.map(np.asarray,
+                          net.init(jax.random.PRNGKey(3), x)["params"])
+    rebuilt = import_torch_state_dict(export_torch_state_dict(params), params)
+    for key, want in sorted(_flatten_tree(params).items()):
+        np.testing.assert_array_equal(_flatten_tree(rebuilt)[key], want)
+
+
+def _flatten_tree(tree, prefix=()):
+    out = {}
+    for key, value in tree.items():
+        if isinstance(value, dict):
+            out.update(_flatten_tree(value, prefix + (key,)))
+        else:
+            out[prefix + (key,)] = value
+    return out
+
+
+def test_export_loads_into_reference(reference_modules, rng):
+    """Weights trained here load into the REFERENCE torch modules verbatim
+    (the reverse migration path: reference users can consume our
+    checkpoints). Encoder outputs must agree after the round trip."""
+    RefEncoder, _ = reference_modules
+    feature_size, latent = 60, 16
+    ref_enc = RefEncoder(feature_size=feature_size, latent_size=latent,
+                         model_complexity=1).eval()
+
+    net = TimbreTrapNet(feature_size=feature_size, latent_size=latent,
+                        model_complexity=1)
+    x_nhwc = rng.standard_normal((2, feature_size, 5, 2)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(1), jnp.asarray(x_nhwc))["params"]
+
+    enc_keys = [f"encoder.{k}" for k in ref_enc.state_dict()]
+    exported = export_torch_state_dict({"encoder": params["encoder"]},
+                                       like=enc_keys)
+    ref_enc.load_state_dict({k[len("encoder."):]: torch.from_numpy(
+        np.ascontiguousarray(v)) for k, v in exported.items()})
+
+    with torch.no_grad():
+        ref_lat, _, _ = ref_enc(torch.from_numpy(np.moveaxis(x_nhwc, -1, 1)))
+    latents, _, _ = net.apply({"params": params}, jnp.asarray(x_nhwc),
+                              method="encode")
+    np.testing.assert_allclose(np.moveaxis(np.asarray(latents), -1, 1),
+                               ref_lat.numpy(), atol=2e-4)
 
 
 def test_importer_rejects_shape_mismatch(rng):

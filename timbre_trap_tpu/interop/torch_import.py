@@ -15,7 +15,8 @@ run on TPU. Verified functionally against the reference modules in
 
 import numpy as np
 
-__all__ = ["import_torch_state_dict", "load_torch_checkpoint"]
+__all__ = ["import_torch_state_dict", "export_torch_state_dict",
+           "load_torch_checkpoint"]
 
 # Parameter paths that are transposed convolutions in the reference.
 _TRANSPOSE_CONV_PATHS = ("decoder.convin",)
@@ -98,6 +99,50 @@ def _validate(params, reference_params):
             raise ValueError(
                 f"shape mismatch at {'.'.join(key)}: "
                 f"{np.shape(got[key])} vs {np.shape(want[key])}")
+
+
+def export_torch_state_dict(params, like=None):
+    """Inverse of :func:`import_torch_state_dict`.
+
+    Converts a flax parameter tree back into a reference-named torch-layout
+    ``state_dict`` (numpy values) so checkpoints trained here can be loaded
+    by the reference ``load_state_dict`` (``timbre_trap/framework/
+    modules.py`` naming). Exact inverse:
+    ``import_torch_state_dict(export_torch_state_dict(p)) == p``.
+
+    ``like`` — optional iterable of the target torch module's state_dict
+    keys (e.g. ``ref_model.state_dict().keys()``). The reference wraps convs
+    in ``nn.Sequential`` so its keys carry ``.0`` segments
+    (``encoder.convin.0.weight``) that the importer drops; with ``like``
+    given, exported keys are renamed to the matching original so the dict
+    loads into the torch module verbatim.
+    """
+    state_dict = {}
+    for path, value in sorted(_flatten(params).items()):
+        value = np.asarray(value)
+        if path == ("skip_weights",):
+            state_dict["skip_weights"] = value
+            continue
+        clean = ".".join(path[:-1])
+        if path[-1] == "kernel":
+            if clean in _LINEAR_PATHS:
+                value = value.T                       # (in,out) -> (out,in)
+            elif clean in _TRANSPOSE_CONV_PATHS or clean.endswith(".tconv"):
+                value = value.transpose(2, 3, 0, 1)   # (kh,kw,in,out)->(in,out,kh,kw)
+            elif value.ndim == 4:
+                value = value.transpose(3, 2, 0, 1)   # (kh,kw,in,out)->(out,in,kh,kw)
+            state_dict[f"{clean}.weight"] = value
+        else:
+            state_dict[f"{clean}.{path[-1]}"] = value
+
+    if like is not None:
+        rename = {".".join(p for p in key.split(".") if p != "0"): key
+                  for key in like}
+        unknown = set(state_dict) - set(rename)
+        if unknown:
+            raise ValueError(f"no target key for {sorted(unknown)}")
+        state_dict = {rename[k]: v for k, v in state_dict.items()}
+    return state_dict
 
 
 def load_torch_checkpoint(path):

@@ -41,14 +41,16 @@ class TimbreTrap:
 
     def __init__(self, sample_rate, n_octaves, bins_per_octave, secs_per_block=3,
                  latent_size=None, model_complexity=1, skip_connections=False,
-                 seed=0, remat=False, fused="auto"):
+                 seed=0, remat=False, fused="auto", transform_compat="native",
+                 compat_tables=None):
         self.hparams = dict(sample_rate=sample_rate, n_octaves=n_octaves,
                             bins_per_octave=bins_per_octave,
                             secs_per_block=secs_per_block,
                             latent_size=latent_size,
                             model_complexity=model_complexity,
                             skip_connections=skip_connections,
-                            variant=self.variant)
+                            variant=self.variant,
+                            transform_compat=transform_compat)
         # Inference conv-stack backend: "auto" runs the fused Pallas level
         # kernels (ops/fused_level.py) on TPU — bf16 storage for transcribe
         # (error on par with XLA's default bf16 multiplies), exact f32 for
@@ -57,10 +59,16 @@ class TimbreTrap:
         # mode is test-only). Assigning .fused rebuilds the jitted entry
         # points (the mode is baked into the traced programs).
         self._fused = fused
+        # transform_compat="cqt_pytorch" runs the model on the compat frame
+        # the released reference checkpoint was trained on (see
+        # transform/design.py:design_cqt_pytorch); the TPU execution path is
+        # identical either way.
         self.sliCQ = CQT(n_octaves=n_octaves,
                          bins_per_octave=bins_per_octave,
                          sample_rate=sample_rate,
-                         secs_per_block=secs_per_block)
+                         secs_per_block=secs_per_block,
+                         compat=transform_compat,
+                         compat_tables=compat_tables)
         self.net = TimbreTrapNet(feature_size=self.sliCQ.n_bins,
                                  latent_size=latent_size,
                                  model_complexity=model_complexity,

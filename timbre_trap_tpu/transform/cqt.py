@@ -15,23 +15,54 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .design import design_slicq
+from .design import design_cqt_pytorch, design_slicq
 from .nsgt import build_slicq_fns
 
 __all__ = ["CQT"]
 
 
 class CQT:
-    """Invertible sliCQ transform with timbre-trap bookkeeping helpers."""
+    """Invertible sliCQ transform with timbre-trap bookkeeping helpers.
 
-    def __init__(self, n_octaves, bins_per_octave, sample_rate, secs_per_block):
-        self.plan = design_slicq(
-            sample_rate=sample_rate,
-            n_octaves=n_octaves,
-            bins_per_octave=bins_per_octave,
-            block_length=int(secs_per_block * sample_rate),
-            power_of_2_length=True,
-        )
+    ``compat`` selects the frame construction:
+
+    * ``"native"`` (default) — the exact partition-of-unity frame from
+      :func:`~timbre_trap_tpu.transform.design.design_slicq` (~134 dB
+      round trips; better than the reference transform).
+    * ``"cqt_pytorch"`` — the compat frame replicating the external
+      ``cqt_pytorch`` package the released ``tt-orig.pt`` checkpoint was
+      trained on (constant-Q Hann windows, plain-ifft coefficient scale,
+      canonical-dual synthesis; approximately invertible like the
+      reference). Pass ``compat_tables`` (from
+      :mod:`timbre_trap_tpu.transform.calibrate`) to pin the windows to a
+      measured install of the package instead of the analytic rebuild.
+    """
+
+    def __init__(self, n_octaves, bins_per_octave, sample_rate, secs_per_block,
+                 compat="native", compat_tables=None):
+        block_length = int(secs_per_block * sample_rate)
+        if compat in (None, "native"):
+            if compat_tables is not None:
+                raise ValueError("compat_tables requires compat='cqt_pytorch'")
+            self.plan = design_slicq(
+                sample_rate=sample_rate,
+                n_octaves=n_octaves,
+                bins_per_octave=bins_per_octave,
+                block_length=block_length,
+                power_of_2_length=True,
+            )
+        elif compat == "cqt_pytorch":
+            self.plan = design_cqt_pytorch(
+                sample_rate=sample_rate,
+                n_octaves=n_octaves,
+                bins_per_octave=bins_per_octave,
+                block_length=block_length,
+                power_of_2_length=True,
+                tables=compat_tables,
+            )
+        else:
+            raise ValueError(f"unknown compat mode: {compat!r}")
+        self.compat = self.plan.variant
 
         self.sample_rate = sample_rate
         self.n_octaves = n_octaves

@@ -37,9 +37,10 @@ def build_slicq_fns(plan):
     # time (device arrays would need a device->host copy for constant
     # embedding, which this TPU runtime does not implement for complex64).
     band_win = plan.band_win                       # (F, M) float32
+    band_dual = plan.band_dual                     # (F, M) float32 (== win if self-dual)
     band_phase = plan.band_phase                   # (F, M) complex64 (x scale)
-    scatter_idx = plan.scatter_idx                 # (2, R) int32
-    scatter_dual = plan.scatter_dual               # (2, R) float32
+    scatter_idx = plan.scatter_idx                 # (S, R) int32
+    scatter_dual = plan.scatter_dual               # (S, R) float32
     L = plan.block_length
     M = plan.max_window_length
     F = plan.n_bins
@@ -111,10 +112,11 @@ def build_slicq_fns(plan):
         c = jnp.moveaxis(c, -2, -3)                                    # (B,C,nb,F,M)
         if A > 1:
             # Band formulation: undo the phase ramp, forward-FFT back to the
-            # un-rolled band representation, window with the (self-dual)
-            # analysis window, and accumulate aligned chunks into the
-            # spectrum via a dense one-hot matmul (MXU, no scatter/gather).
-            y = mfft.fft(c * inv_phase, axis=-1) * band_win            # (B,C,nb,F,M)
+            # un-rolled band representation, window with the dual window
+            # (== the analysis window for the exact self-dual design), and
+            # accumulate aligned chunks into the spectrum via a dense
+            # one-hot matmul (MXU, no scatter/gather).
+            y = mfft.fft(c * inv_phase, axis=-1) * band_dual           # (B,C,nb,F,M)
             ych = y.reshape(B, C, nb, F * (M // A), A)
             Xr = jnp.einsum("sc,...ca->...sa", onehot, jnp.real(ych),
                             precision=jax.lax.Precision.HIGHEST)
@@ -124,8 +126,8 @@ def build_slicq_fns(plan):
         else:
             Z = mfft.fft(c, axis=-1) * inv_scale
             Zf = Z.reshape(B, C, nb, F * M)
-            X = (jnp.take(Zf, scatter_idx[0], axis=-1) * scatter_dual[0]
-                 + jnp.take(Zf, scatter_idx[1], axis=-1) * scatter_dual[1])
+            X = sum(jnp.take(Zf, scatter_idx[s], axis=-1) * scatter_dual[s]
+                    for s in range(scatter_idx.shape[0]))
         x = mfft.irfft(X, n=L, axis=-1)                             # (B,C,nb,L)
         return x.reshape(B, C, nb * L).astype(jnp.float32)
 

@@ -99,6 +99,47 @@ def test_fused_forward_matches_net(variant, transcribe):
                                atol=1e-4, rtol=1e-3)
 
 
+def test_fused_level_train_shard_map_parity():
+    """The shard_map wrapping used for mesh training (models/fused.py:
+    _apply_level) reproduces the unsharded fused level exactly: outputs,
+    dX, and the psum'd parameter gradients."""
+    from timbre_trap_tpu.ops.fused_level import make_fused_level_train
+    from timbre_trap_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.device_count() >= 8
+    rng = np.random.default_rng(3)
+    F, C, Tl = 40, 4, 24
+    x0 = _rand(rng, 8, F, Tl, C)
+    mod = EncoderBlock(out_channels=2 * C)
+    params = mod.init(jax.random.PRNGKey(1), x0)["params"]
+    xp = pack_nhwc(x0)
+    spec0 = encoder_level_spec(params, F, with_adjoints=True)
+    w_ref = _rand(rng, 8, spec0.r_out, Tl)
+    mesh = make_mesh(8)
+
+    def loss(params, xp, sharded):
+        spec = encoder_level_spec(params, F, with_adjoints=True)
+        fn = make_fused_level_train(spec, tile_t=128, interpret=True)
+        arrays = (spec.weight_arrays(jnp.float32)
+                  + spec.adjoint_arrays(jnp.float32))
+        if sharded:
+            fn = jax.shard_map(fn, mesh=mesh,
+                               in_specs=(P("data"),) + (P(),) * len(arrays),
+                               out_specs=P("data"), check_vma=False)
+        return jnp.sum(fn(xp, *arrays) * w_ref)
+
+    v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xp, False)
+    v8, g8 = jax.value_and_grad(loss, argnums=(0, 1))(params, xp, True)
+    assert float(v1) == pytest.approx(float(v8), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g8[1]), np.asarray(g1[1]),
+                               atol=1e-5, rtol=1e-5)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1[0]))
+    for path, l8 in jax.tree_util.tree_leaves_with_path(g8[0]):
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(flat1[path]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_fused_forward_skip_connections_unsupported():
     net = TimbreTrapNet(feature_size=540, model_complexity=1,
                         skip_connections=True)

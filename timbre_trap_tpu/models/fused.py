@@ -67,7 +67,7 @@ def _latent_matmuls(params, net):
     return w_lat, b_lat, w_dec, b_dec
 
 
-def _apply_level(x, spec, backend, dtype, interpret, remat):
+def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
     if backend == "pallas":
         fn = partial(fused_level_apply, spec=spec, dtype=dtype,
                      interpret=interpret)
@@ -78,6 +78,20 @@ def _apply_level(x, spec, backend, dtype, interpret, remat):
         train_fn = make_fused_level_train(spec, interpret=interpret)
         arrays = (spec.weight_arrays(jnp.float32)
                   + spec.adjoint_arrays(jnp.float32))
+        if mesh is not None:
+            # Data-parallel composition: batch is the pallas grid's leading
+            # axis, so each device runs its own grid on its batch shard with
+            # the (replicated) weight arrays. shard_map's transpose psums
+            # the replicated inputs' cotangents, so parameter gradients come
+            # out globally summed exactly as in the jit-sharded XLA paths
+            # (SURVEY.md §2.6; DataParallel at reference train.py:166-168).
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            train_fn = jax.shard_map(
+                train_fn, mesh=mesh,
+                in_specs=(P(axis),) + (P(),) * len(arrays),
+                out_specs=P(axis), check_vma=False)
         return train_fn(x, *arrays)
     else:
         fn = partial(packed_level_apply_xla, spec=spec)
@@ -87,7 +101,8 @@ def _apply_level(x, spec, backend, dtype, interpret, remat):
 
 
 def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
-                  precision="default", interpret=False, remat=False):
+                  precision="default", interpret=False, remat=False,
+                  mesh=None):
     """Packed features (B, F*C_in, T) -> latents (B, D, T)."""
     sizes, _ = embedding_sizes(net.feature_size)
     enc = params["encoder"]
@@ -98,7 +113,7 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
             enc[f"block{i + 1}"], f,
             convin_params=enc["convin"] if i == 0 else None,
             with_adjoints=adj)
-        x = _apply_level(x, spec, backend, dtype, interpret, remat)
+        x = _apply_level(x, spec, backend, dtype, interpret, remat, mesh)
         f = sizes[i]
     w_lat, b_lat, _, _ = _latent_matmuls(params, net)
     latents = jnp.einsum("rl,brt->blt", w_lat, x.astype(jnp.float32),
@@ -109,7 +124,7 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
 
 def decode_packed(params, net, latents, transcribe, backend="pallas",
                   dtype=jnp.float32, precision="default", interpret=False,
-                  remat=False):
+                  remat=False, mesh=None):
     """Latents (B, D, T) -> packed coefficients (B, F*C_out, T).
 
     Applies the decoder switch (reference modules.py:119-147 / :780-839)
@@ -142,7 +157,7 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
             dec[f"block{i + 1}"], f, output_padding=paddings[i],
             convout_params=dec["convout"] if i == 3 else None,
             with_adjoints=adj)
-        y = _apply_level(y, spec, backend, dtype, interpret, remat)
+        y = _apply_level(y, spec, backend, dtype, interpret, remat, mesh)
         f = spec.items[0][1].f_out
 
     y = y.astype(jnp.float32)
@@ -173,7 +188,7 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
 
 
 def packed_train_forward(params, net, features, consistency, backend="xla",
-                         remat=True, interpret=False):
+                         remat=True, interpret=False, mesh=None):
     """Training-mode forward on packed tensors.
 
     Returns (reconstruction, latents, transcription, transcription_rec,
@@ -183,7 +198,7 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
     packed level inputs are saved for the backward pass.
     """
     kw = dict(backend=backend, dtype=jnp.float32, precision="default",
-              interpret=interpret, remat=remat)
+              interpret=interpret, remat=remat, mesh=mesh)
     x = pack_nhwc(features)
     latents = encode_packed(params, net, x, **kw)
     reconstruction = decode_packed(params, net, latents, False, **kw)

@@ -54,6 +54,12 @@ class TrainerConfig:
     # (banded f-major forward, models/fused.py) — "packed" is what fits the
     # reference batch recipe (8 x 9-s crops) in single-chip HBM.
     conv_backend: str = "flax"
+    # Optimizer surface (reference train.py:334: torch AdamW defaults).
+    weight_decay: float = 0.01
+    # Average gradients over k step() calls before applying the update —
+    # reaches the reference global batch on fewer chips when HBM bounds the
+    # per-step batch.
+    grad_accum_steps: int = 1
     seed: int = 2
     root_dir: str = "runs"
 
@@ -106,6 +112,7 @@ class Trainer:
         self.batch_count = 0
         self.best_results = None
         self.best_checkpoint = None
+        self.n_ckpt_elapsed = 0
 
     # ------------------------------------------------------------------ #
 
@@ -113,6 +120,8 @@ class Trainer:
         m = self.config.multipliers
         return TrainConfig(
             learning_rate=self.config.learning_rate,
+            weight_decay=self.config.weight_decay,
+            grad_accum_steps=self.config.grad_accum_steps,
             multiplier_reconstruction=m.get("reconstruction", 1),
             multiplier_transcription=m.get("transcription", 1),
             multiplier_consistency=m.get("consistency", 1),
@@ -124,21 +133,67 @@ class Trainer:
         key = bool(transcription_active)
         if key not in self._steps:
             backend = self.config.conv_backend
-            if self.mesh is not None and backend == "pallas":
-                # Sharded-jit partitioning of pallas_call is not validated
-                # on this stack; mesh runs take the banded-XLA twin (same
-                # math, proven 8-device parity in tests/test_train.py).
-                print("conv_backend='pallas' + mesh: using the banded-XLA "
-                      "'packed' backend for the sharded step.")
-                backend = "packed"
             cfg = self._train_config(key)
+            # pallas + mesh: each fused level runs under shard_map over the
+            # data axis (per-device Pallas grids, replicated weights) —
+            # 8-device parity tested in tests/test_train.py.
             step = make_train_step(self.model, cfg, self.mpe_batch_size,
-                                   conv_backend=backend)
+                                   conv_backend=backend, mesh=self.mesh)
             if self.mesh is not None:
                 self._steps[key] = shard_train_step(step, self.mesh)
             else:
                 self._steps[key] = jax.jit(step)
         return self._steps[key]
+
+    # ---------------------------- resume ------------------------------- #
+
+    def _trainer_state(self):
+        """Host-side scalars the step checkpoint does not carry — plateau
+        decay progress, best tracking, early-stop counter. The reference
+        loses all of these on restart (train.py:153-164); persisting them
+        makes resume exact."""
+        p = self.plateau
+        return {
+            "batch_count": self.batch_count,
+            "plateau": {"scale": p.scale, "best": p.best,
+                        "num_bad": p.num_bad,
+                        "cooldown_counter": p.cooldown_counter},
+            "best_checkpoint": self.best_checkpoint,
+            "best_results": self.best_results,
+            "n_ckpt_elapsed": self.n_ckpt_elapsed,
+        }
+
+    def restore(self, ckpt_path):
+        """Resume exactly from a trainer checkpoint directory.
+
+        Restores params/opt_state/step plus the trainer-state JSON saved
+        next to it; a resumed ``run()`` then bit-matches an uninterrupted
+        one (given deterministic loaders) — tested across a checkpoint
+        boundary in tests/test_loop.py.
+        """
+        from .checkpoint import load_checkpoint
+
+        state = load_checkpoint(
+            ckpt_path, target={"params": self.params,
+                               "opt_state": self.opt_state, "step": 0})
+        self.params, self.opt_state = state["params"], state["opt_state"]
+        self.batch_count = int(state["step"])
+        self.model.params = self.params
+
+        meta_path = f"{ckpt_path}.trainer.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            self.batch_count = int(meta["batch_count"])
+            pl = meta["plateau"]
+            self.plateau.scale = float(pl["scale"])
+            self.plateau.best = pl["best"]
+            self.plateau.num_bad = int(pl["num_bad"])
+            self.plateau.cooldown_counter = int(pl["cooldown_counter"])
+            self.best_checkpoint = meta["best_checkpoint"]
+            self.best_results = meta["best_results"]
+            self.n_ckpt_elapsed = int(meta["n_ckpt_elapsed"])
+        return self.batch_count
 
     def _compose_batch(self, data_mpe, data_audio):
         audio = np.asarray(data_mpe[constants.KEY_AUDIO], np.float32)
@@ -163,18 +218,26 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def run(self):
-        """Full training run; returns (best_checkpoint, best_results)."""
+        """Full training run; returns (best_checkpoint, best_results).
+
+        Safe to call after :meth:`restore`: completed epochs are skipped and
+        the first resumed epoch fast-forwards past the batches already
+        trained (loaders are re-iterated, so exactness additionally needs
+        per-epoch-deterministic loaders)."""
         c = self.config
         early_stop = False
-        n_ckpt_elapsed = 0
+        start_epoch = self.batch_count // self.epoch_steps
+        skip_batches = self.batch_count % self.epoch_steps
 
-        for epoch in range(c.max_epochs):
+        for epoch in range(start_epoch, c.max_epochs):
             transcription_active = epoch >= c.n_epochs_late_start
             step_fn = self._get_step(transcription_active)
             audio_iter = iter(self.audio_loader) if self.audio_loader else None
 
-            for data_mpe in self.mpe_loader:
+            for i, data_mpe in enumerate(self.mpe_loader):
                 data_audio = next(audio_iter, None) if audio_iter else None
+                if epoch == start_epoch and i < skip_batches:
+                    continue
                 self.batch_count += 1
 
                 lr = c.learning_rate * float(self.warmup(self.batch_count - 1))
@@ -187,10 +250,10 @@ class Trainer:
                 self._log(metrics)
 
                 if self.batch_count % c.checkpoint_interval == 0:
-                    n_ckpt_elapsed = self._checkpoint_and_validate(
-                        epoch, n_ckpt_elapsed)
+                    self.n_ckpt_elapsed = self._checkpoint_and_validate(
+                        epoch, self.n_ckpt_elapsed)
                     if (self.n_ckpt_early_stop is not None
-                            and n_ckpt_elapsed >= self.n_ckpt_early_stop):
+                            and self.n_ckpt_elapsed >= self.n_ckpt_early_stop):
                         early_stop = True
                         break
             if early_stop:
@@ -204,6 +267,16 @@ class Trainer:
         ckpt_path = os.path.join(self.log_dir, f"model-{self.batch_count}")
         save_checkpoint(ckpt_path, self.params, self.opt_state,
                         self.batch_count)
+        n_ckpt_elapsed = self._validate_and_track(epoch, n_ckpt_elapsed)
+        # Persist the host-side trainer scalars next to the step checkpoint
+        # AFTER plateau/best updates so restore() resumes exactly.
+        self.n_ckpt_elapsed = n_ckpt_elapsed
+        with open(f"{ckpt_path}.trainer.json", "w") as fh:
+            json.dump(self._trainer_state(), fh, indent=2, default=float)
+        return n_ckpt_elapsed
+
+    def _validate_and_track(self, epoch, n_ckpt_elapsed):
+        c = self.config
 
         validation_results = {}
         for val_set in self.validation_sets:

@@ -117,7 +117,7 @@ def _transcription_loss(estimate, target, weighted):
 
 
 def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
-                    conv_backend="flax"):
+                    conv_backend="flax", mesh=None, interpret=False):
     """Build the pure train step for a model instance.
 
     step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
@@ -132,6 +132,13 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     train.py:39-101) in single-chip HBM; "pallas" additionally executes
     each level as the fused Pallas kernels with a custom-VJP Pallas
     backward (adjoint banded blocks).
+
+    ``mesh`` (pallas backend only): run each fused level under
+    ``jax.shard_map`` over the mesh's leading axis so the production kernel
+    path composes with data parallelism — pass the same mesh to
+    :func:`shard_train_step`. The XLA backends partition under sharded jit
+    without it. ``interpret`` runs the Pallas kernels in interpret mode
+    (CPU tests).
     """
     net = model.net
     features_from_audio = model.features_from_audio
@@ -156,7 +163,9 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
         rec, _, trn, trn_rec, trn_scr = packed_train_forward(
             params, net, features, consistency,
             backend="pallas_train" if conv_backend == "pallas" else "xla",
-            remat=conv_backend != "pallas")
+            remat=conv_backend != "pallas",
+            mesh=mesh if conv_backend == "pallas" else None,
+            interpret=interpret)
         target = pack_nhwc(features)
         activations = model.to_activations(
             packed_to_nchw(trn, net.feature_size, net.in_channels))

@@ -132,11 +132,25 @@ int tt_load_mp3(const char* path, int target_sr, int normalize, float** out,
       }
       if (rc == MPG123_DONE) break;
       if (rc == MPG123_NEW_FORMAT) {
-        // Rate/channel change mid-stream: re-pin the output format.
-        if (api.getformat(h, &rate, &channels, &encoding) != MPG123_OK) {
+        long new_rate = 0;
+        int new_channels = 0;
+        if (api.getformat(h, &new_rate, &new_channels, &encoding) !=
+            MPG123_OK) {
           rc_out = 15;
           break;
         }
+        // A genuine rate/channel CHANGE after samples were accumulated
+        // would concatenate audio decoded at different formats (wrong-rate
+        // resampling; corrupted interleaved downmix on a channel change) —
+        // fail loudly with a distinct code instead. A format event before
+        // any data (the normal first-read handshake) just (re)pins.
+        if (!interleaved.empty() &&
+            (new_rate != rate || new_channels != channels)) {
+          rc_out = 17;
+          break;
+        }
+        rate = new_rate;
+        channels = new_channels;
         continue;
       }
       if (rc != MPG123_OK) {

@@ -20,17 +20,13 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Key the cache by host: XLA:CPU AOT entries embed machine features, and
-    # a cache carried over from a different machine forces slow recompiles
-    # whose skew can blow Gloo's 30 s rendezvous timeout.
-    import platform
-    import hashlib
+    # Key the cache by host (XLA:CPU AOT entries embed machine features; a
+    # cache carried over from a different machine forces slow recompiles
+    # whose skew can blow Gloo's 30 s rendezvous timeout) and by user
+    # (library helper uses ~/.cache, mode 0700).
+    from timbre_trap_tpu.utils import enable_persistent_compilation_cache
 
-    tag = hashlib.sha1(
-        (platform.node() + platform.processor()).encode()).hexdigest()[:8]
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/tt_tpu_jax_cache_{tag}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_persistent_compilation_cache(min_compile_secs=0.5)
 
     from timbre_trap_tpu import parallel
 

@@ -20,6 +20,7 @@ then cost half), since complex dtype support is weaker on some TPU stacks.
 """
 
 import contextlib
+import threading
 from functools import lru_cache
 
 import numpy as np
@@ -34,7 +35,15 @@ __all__ = ["fft", "ifft", "rfft", "irfft", "fft_precision"]
 # v5e than a 32x32 Cooley-Tukey split (1.21 ms vs 1.68 ms at (540, 1024)).
 MAX_LEAF = 1024
 _PRECISION = lax.Precision.HIGHEST
-_PRECISION_OVERRIDE = [None]
+# Thread-local: concurrent tracing threads must not leak a fast 'default'
+# override into an exactness-critical trace (or pop each other's entries).
+_TLS = threading.local()
+
+
+def _override_stack():
+    if not hasattr(_TLS, "stack"):
+        _TLS.stack = [None]
+    return _TLS.stack
 
 
 @contextlib.contextmanager
@@ -46,16 +55,18 @@ def fft_precision(precision):
     that does not need exactness (e.g. transcription features feeding
     tanh-magnitude activations) run the DFT matmuls at the fast TPU bf16
     rate. Applies at TRACE time — wrap the traced body, not the call.
+    The override is confined to the current thread.
     """
-    _PRECISION_OVERRIDE.append(precision)
+    stack = _override_stack()
+    stack.append(precision)
     try:
         yield
     finally:
-        _PRECISION_OVERRIDE.pop()
+        stack.pop()
 
 
 def _prec():
-    return _PRECISION_OVERRIDE[-1] or _PRECISION
+    return _override_stack()[-1] or _PRECISION
 
 
 def _factor_pairs(n):

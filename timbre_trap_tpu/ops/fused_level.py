@@ -110,7 +110,6 @@ class LevelSpec:
             assert cb.r_in == r, (cb.r_in, r)
             r = cb.r_out if it[0] == "conv" else r
         self.r_out = r
-        last_cb = items[-1][1]
         self.rb_out = _cdiv(self.r_out, BLOCK_ROWS) * BLOCK_ROWS
 
     def _convs(self):
@@ -388,11 +387,13 @@ def _n_convs(geom):
     return sum(1 if it[0] == "conv" else 2 for it in geom.items)
 
 
-def _item_fwd(slab, it, ws, col_ok, dtype, precision, return_inners=False):
+def _item_fwd(slab, it, ws, dtype, precision, return_inners=False):
     """One item's forward on a margined slab value.
 
     Returns (y (r rows, W), r, inners) where inners holds the
     pre-activations needed for the item's backward when requested.
+    Virtual-column zeroing (col_ok masking) is the CALLER's job, applied
+    between items.
     """
     if it[0] == "conv":
         g, act = it[1], it[2]
@@ -420,8 +421,7 @@ def _replay_to(xv, geom, weights, idx, col_ok, dtype, precision):
     for i2 in range(idx):
         it = geom.items[i2]
         n_w = 2 if it[0] == "conv" else 4
-        y, r, _ = _item_fwd(slab, it, weights[wi:wi + n_w], col_ok, dtype,
-                            precision)
+        y, r, _ = _item_fwd(slab, it, weights[wi:wi + n_w], dtype, precision)
         wi += n_w
         y = jnp.where(col_ok, y, 0.0)
         nxt = geom.items[i2 + 1][1]
@@ -520,7 +520,7 @@ def _level_bwd_kernel(geom, adj_geom, dtype, tile_t, t_total, precision,
         else:
             g1, g2 = it[1], it[2]
             _, r, (h1, a1s, h2) = _item_fwd(
-                slab_in, it, weights[wi:wi + 4], col_ok, dtype, precision,
+                slab_in, it, weights[wi:wi + 4], dtype, precision,
                 return_inners=True)
             dH2 = dY * _elu_grad(h2)
             dH2m = jnp.where(dw_mask, dH2, 0.0)

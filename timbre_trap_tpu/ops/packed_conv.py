@@ -231,34 +231,49 @@ def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0):
 def packed_conv_reference(x, cb: ConvBlocks):
     """Reference execution of a ConvBlocks conv on packed (B, R_in, T) input.
 
-    Plain XLA ops (pad + per-block dots); used to validate the banded math
-    and as the non-Pallas fallback. Returns (B, R_out, T).
+    Plain XLA ops; used to validate the banded math and as the non-Pallas
+    training backend. Returns (B, R_out, T).
+
+    The banded structure is executed as ONE einsum per time tap: block j's
+    window ``[j*col_adv, j*col_adv + k)`` is decomposed into ``nw =
+    ceil(k/col_adv)`` col_adv-row chunks, so chunk o of every window is the
+    (j+o)-th slice of the same chunked view of x — a batched
+    (128, col_adv) x (col_adv, T) matmul over (block, chunk). A per-block
+    Python loop here (the original formulation) emits hundreds of small
+    dots at the flagship F=540 (34-68 blocks/conv x ~100 convs after remat),
+    which blew up XLA:CPU compile time to ~20 minutes and fragmented the
+    TPU schedule.
     """
     b, r_in, t = x.shape
     assert r_in == cb.r_in, (r_in, cb.r_in)
     n_blocks = cb.n_out_blocks
-    # Zero-pad rows: margin above; below enough for the last block's window.
+    A = cb.col_adv
+    nw = -(-cb.k // A)  # window chunks per block
+    n_ch = n_blocks - 1 + nw
+    # Zero-pad rows: margin above; below to complete the chunk grid.
     top = cb.margin
-    bottom = max(0, (n_blocks - 1) * cb.col_adv - cb.margin + cb.k - r_in)
+    bottom = n_ch * A - top - r_in
+    assert bottom >= 0
     xp = jnp.pad(x, ((0, 0), (top, bottom), (0, 0)))
 
     max_dt = max((abs(d) for d in cb.dts), default=0)
     if max_dt:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (max_dt, max_dt)))
+    xch = xp.reshape(b, n_ch, A, xp.shape[-1])
 
-    out = []
-    for j in range(n_blocks):
-        start = j * cb.col_adv
-        acc = None
-        for di, dt in enumerate(cb.dts):
-            # Correlation semantics (jax.lax conv): y[t] += B_dt @ x[t + dt].
-            xs = xp[:, start:start + cb.k,
-                    max_dt + dt:max_dt + dt + t] if max_dt else \
-                xp[:, start:start + cb.k, :]
-            term = jnp.einsum("rk,bkt->brt", cb.blocks[di], xs,
-                              preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-        out.append(acc)
-    y = jnp.concatenate(out, axis=1)[:, :cb.r_out]
+    # (n_dt, 128, k) -> (n_dt, nw, 128, A) chunked blocks (zero-pad k up).
+    blocks = jnp.pad(cb.blocks, ((0, 0), (0, 0), (0, nw * A - cb.k)))
+    blocks = blocks.reshape(len(cb.dts), BLOCK_ROWS, nw, A)
+
+    acc = None
+    for di, dt in enumerate(cb.dts):
+        # Correlation semantics (jax.lax conv): y[t] += B_dt @ x[t + dt].
+        xs = (xch[..., max_dt + dt:max_dt + dt + t] if max_dt else xch)
+        # Chunk o of every block window, batched over blocks: (B,nw,nb,A,T).
+        xw = jnp.stack([xs[:, o:o + n_blocks] for o in range(nw)], axis=1)
+        term = jnp.einsum("rok,bojkt->bjrt", blocks[di], xw,
+                          preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    y = acc.reshape(b, n_blocks * BLOCK_ROWS, t)[:, :cb.r_out]
     bias_full = jnp.tile(cb.bias, n_blocks)[:cb.r_out]
     return y + bias_full[None, :, None]

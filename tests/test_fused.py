@@ -131,7 +131,9 @@ def test_fused_level_train_shard_map_parity():
 
     v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(params, xp, False)
     v8, g8 = jax.value_and_grad(loss, argnums=(0, 1))(params, xp, True)
-    assert float(v1) == pytest.approx(float(v8), rel=1e-6)
+    # f32 scalar: sharded psum reduces in a different order than the
+    # single-device sum, so allow a few ULPs of slack.
+    assert float(v1) == pytest.approx(float(v8), rel=5e-6)
     np.testing.assert_allclose(np.asarray(g8[1]), np.asarray(g1[1]),
                                atol=1e-5, rtol=1e-5)
     flat1 = dict(jax.tree_util.tree_leaves_with_path(g1[0]))

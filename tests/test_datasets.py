@@ -352,6 +352,50 @@ def test_medleydb_pitch(tmp_path, cqt):
     assert len(pitches[0]) == 1 and len(pitches[2]) == 0
 
 
+def test_medleydb_stem_synth(tmp_path, cqt):
+    """Stem-Synth corpus: YAML metadata pruned to available .RESYN stems,
+    instrument splits, and F0 CSV parsing (reference
+    SoloMultiPitch/MedleyDB_Stem_Synth.py:15-55)."""
+    from timbre_trap_tpu.data.datasets.SoloMultiPitch import \
+        MedleyDB_Stem_Synth
+
+    song = "ArtistA_SongOne"
+    ann = tmp_path / "annotation_stems"
+    aud = tmp_path / "audio_stems"
+    meta_dir = tmp_path / "Metadata"
+    for d in (ann, aud, meta_dir):
+        d.mkdir()
+    # Only stem 01 is re-synthesized; S02 must be pruned from metadata.
+    np.savetxt(str(ann / f"{song}_STEM_01.RESYN.csv"),
+               np.array([[0.0, 440.0], [0.01, 440.0], [0.02, 0.0]]),
+               delimiter=",")
+    save_wav(str(aud / f"{song}_STEM_01.RESYN.wav"), _tone(69), SR)
+    metadata = {
+        "genre": "Jazz",
+        "stems": {
+            "S01": {"filename": f"{song}_STEM_01.wav",
+                    "instrument": "violin"},
+            "S02": {"filename": f"{song}_STEM_02.wav",
+                    "instrument": "piano"},
+        },
+    }
+    with open(meta_dir / f"{song}_METADATA.yaml", "w") as fh:
+        import yaml
+
+        yaml.safe_dump(metadata, fh)
+
+    ds = MedleyDB_Stem_Synth(base_dir=str(tmp_path), splits=["violin"],
+                             sample_rate=SR, cqt=cqt)
+    assert list(ds.metadata[song]["stems"].keys()) == ["S01"]  # pruned
+    assert ds.tracks == [f"{song}_STEM_01"]
+    assert os.path.exists(ds.get_audio_path(ds.tracks[0]))
+    times, pitches = ds.get_ground_truth(ds.tracks[0])
+    assert len(pitches[0]) == 1 and len(pitches[2]) == 0
+    # No violin stems -> empty track list, not an error.
+    assert MedleyDB_Stem_Synth(base_dir=str(tmp_path), splits=["piano"],
+                               sample_rate=SR, cqt=cqt).tracks == []
+
+
 # --------------------------------------------------------------------- #
 # FMA                                                                   #
 # --------------------------------------------------------------------- #

@@ -206,3 +206,18 @@ def test_quality_f1_learns():
     assert m.params is saved  # model left untouched
     assert 0.0 <= f1 <= 1.0
     assert f1 > 0.2, f"synthetic-polyphony F1 did not rise ({f1})"
+
+
+def test_quality_f1_consistency_branch():
+    """The consistency-on variant (the flagship recipe's loss surface)
+    trains without NaNs and stays computable — this exercises the
+    consistency-branch gradients bench.py tracks (mpe_f1_consistency)."""
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.eval import quality_f1
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    f1 = quality_f1(m, n_tracks=4, steps=20, lr=2e-3, seed=0,
+                    multiplier_consistency=1.0)
+    assert 0.0 <= f1 <= 1.0
+    assert f1 > 0.0, "consistency-on training collapsed (F1 == 0)"

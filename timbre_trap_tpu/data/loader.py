@@ -80,27 +80,56 @@ def device_prefetch(iterator, transfer, depth=2):
 
     ``transfer`` maps a host batch to device arrays (e.g. a sharded
     ``jax.device_put``). Up to ``depth`` batches are staged ahead on a
-    background thread.
+    background thread, so the host→device upload of batch k+1 rides under
+    the device step on batch k (reference overlap: torch workers +
+    pin_memory, ``train.py:273-287``).
+
+    Closing the returned generator (``gen.close()``, or a ``break`` that
+    drops the last reference) stops the worker thread promptly — the
+    Trainer breaks out mid-epoch on early stop and must not leave threads
+    iterating the loader.
     """
     q = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     error = []
 
     def worker():
         try:
             for batch in iterator:
-                q.put(transfer(batch))
+                if stop.is_set():
+                    return
+                item = transfer(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass  # consumer closed and stopped draining; stop is set
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -62,11 +62,14 @@ def synthesize_polyphony(cqt, n_tracks, seed=0, midi_range=None,
 
 
 def quality_f1(model, n_tracks=8, steps=120, lr=2e-3, seed=0,
-               batch_size=None, conv_backend="flax"):
+               batch_size=None, conv_backend="flax",
+               multiplier_consistency=0.0):
     """Train ``model`` on synthetic polyphony and return its ``mpe/f1-score``.
 
     Mirrors the reference training-validation loop in miniature: seeded
-    train step (consistency off for speed), then per-track transcribe ->
+    train step (consistency off by default, for speed — pass
+    ``multiplier_consistency=1.0`` to exercise the consistency-branch
+    gradients of the flagship recipe), then per-track transcribe ->
     peak-pick -> multipitch metrics, exactly the evaluation path of
     ``eval/evaluation.py``. Deterministic given (model seed, seed, steps).
     The model's parameters are left untouched (training happens on a copy).
@@ -92,7 +95,7 @@ def quality_f1(model, n_tracks=8, steps=120, lr=2e-3, seed=0,
         hp = {k: v for k, v in model.hparams.items() if k != "variant"}
         train_model = type(model)(seed=seed, remat=True, **hp)
 
-    cfg = TrainConfig(multiplier_consistency=0.0)
+    cfg = TrainConfig(multiplier_consistency=multiplier_consistency)
     step = jax.jit(make_train_step(train_model, cfg, mpe_batch_size=batch,
                                    conv_backend=conv_backend))
     params, opt = init_train_state(train_model, cfg)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import constants
+from ..data.loader import device_prefetch
 from ..eval.evaluation import evaluate
 from ..parallel import make_mesh, shard_global_batch
 from .checkpoint import save_checkpoint
@@ -196,17 +197,33 @@ class Trainer:
         return self.batch_count
 
     def _compose_batch(self, data_mpe, data_audio):
+        """Host-side numpy composition of one training batch."""
         audio = np.asarray(data_mpe[constants.KEY_AUDIO], np.float32)
         gt = np.asarray(data_mpe[constants.KEY_GROUND_TRUTH], np.float32)
         if data_audio is not None:
             audio = np.concatenate(
                 [audio, np.asarray(data_audio[constants.KEY_AUDIO],
                                    np.float32)], axis=0)
+        return audio, gt
+
+    def _transfer(self, batch):
+        """Host batch -> device arrays (runs on the prefetch thread, so the
+        upload of batch k+1 overlaps the device step on batch k)."""
+        audio, gt = batch
         if self.mesh is not None:
             # Process-aware: on multi-host pods each process contributes
             # only its local_batch_slice rows of the global batch.
-            audio, gt = shard_global_batch(self.mesh, (audio, gt))
-        return audio, gt
+            return shard_global_batch(self.mesh, (audio, gt))
+        return jax.device_put(audio), jax.device_put(gt)
+
+    def _epoch_batches(self, epoch, start_epoch, skip_batches):
+        """Composed host batches for one epoch (resume-aware skipping)."""
+        audio_iter = iter(self.audio_loader) if self.audio_loader else None
+        for i, data_mpe in enumerate(self.mpe_loader):
+            data_audio = next(audio_iter, None) if audio_iter else None
+            if epoch == start_epoch and i < skip_batches:
+                continue
+            yield self._compose_batch(data_mpe, data_audio)
 
     def _log(self, metrics):
         if self.writer is None:
@@ -232,30 +249,36 @@ class Trainer:
         for epoch in range(start_epoch, c.max_epochs):
             transcription_active = epoch >= c.n_epochs_late_start
             step_fn = self._get_step(transcription_active)
-            audio_iter = iter(self.audio_loader) if self.audio_loader else None
 
-            for i, data_mpe in enumerate(self.mpe_loader):
-                data_audio = next(audio_iter, None) if audio_iter else None
-                if epoch == start_epoch and i < skip_batches:
-                    continue
-                self.batch_count += 1
+            # Device transfer rides a prefetch thread: the upload of batch
+            # k+1 overlaps the device step on batch k (VERDICT r2 #5;
+            # reference overlap: DataLoader workers + pin_memory).
+            batches = device_prefetch(
+                self._epoch_batches(epoch, start_epoch, skip_batches),
+                self._transfer, depth=2)
+            try:
+                for audio, gt in batches:
+                    self.batch_count += 1
 
-                lr = c.learning_rate * float(self.warmup(self.batch_count - 1))
-                lr *= self.plateau.scale
+                    lr = c.learning_rate * float(
+                        self.warmup(self.batch_count - 1))
+                    lr *= self.plateau.scale
 
-                audio, gt = self._compose_batch(data_mpe, data_audio)
-                self.params, self.opt_state, metrics = step_fn(
-                    self.params, self.opt_state, audio, gt,
-                    jnp.float32(lr))
-                self._log(metrics)
+                    self.params, self.opt_state, metrics = step_fn(
+                        self.params, self.opt_state, audio, gt,
+                        jnp.float32(lr))
+                    self._log(metrics)
 
-                if self.batch_count % c.checkpoint_interval == 0:
-                    self.n_ckpt_elapsed = self._checkpoint_and_validate(
-                        epoch, self.n_ckpt_elapsed)
-                    if (self.n_ckpt_early_stop is not None
-                            and self.n_ckpt_elapsed >= self.n_ckpt_early_stop):
-                        early_stop = True
-                        break
+                    if self.batch_count % c.checkpoint_interval == 0:
+                        self.n_ckpt_elapsed = self._checkpoint_and_validate(
+                            epoch, self.n_ckpt_elapsed)
+                        if (self.n_ckpt_early_stop is not None
+                                and self.n_ckpt_elapsed
+                                >= self.n_ckpt_early_stop):
+                            early_stop = True
+                            break
+            finally:
+                batches.close()
             if early_stop:
                 break
 

@@ -107,6 +107,59 @@ def cmd_e2e(_):
         log(f"{name}: e2e RTF {seconds/min(ts):.0f}x ({min(ts):.2f}s)")
 
 
+def cmd_phases(_):
+    """Per-phase device-time breakdown of the streaming transcribe step
+    (VERDICT r2 #8): analysis transform vs fused levels vs the full
+    chunk-group step, at exactly the shapes `_chunked_fn` runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.models.fused import fused_forward
+    from timbre_trap_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    m = _flagship()
+    G, B = m.chunk_group, 1
+    L = m.sliCQ.block_length
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(rng.standard_normal((G * B, 1, L)) * 0.1, jnp.float32)
+    feats = jax.jit(m.features_from_audio)(chunk)
+    float(jnp.sum(feats))
+
+    t_feat = _bench(lambda x: m.features_from_audio(x), chunk)
+    t_levels = _bench(
+        lambda f: fused_forward(m.params, m.net, f, True,
+                                dtype=jnp.bfloat16), feats)
+    t_full = _bench(lambda x: m._infer_fn(m.params, x, True), chunk)
+
+    # Whole streaming pipeline per group (includes overlap-add + slicing).
+    seconds = 60.0
+    audio = jnp.asarray(
+        rng.standard_normal((1, 1, int(seconds * 22050))) * 0.1, jnp.float32)
+    acts = m.transcribe(audio)
+    float(jnp.sum(acts))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(m.transcribe(audio)))
+        ts.append(time.perf_counter() - t0)
+    full = min(ts)
+    n_chunks = int(2 * seconds * 22050 // L)
+    per_group = full / max(1, -(-n_chunks // G))
+    audio_s_per_group = G * L / 2 / 22050
+    log(f"group step shapes: G={G} B={B} L={L}")
+    log(f"analysis transform : {t_feat*1e3:7.2f} ms/group "
+        f"({100*t_feat/t_full:4.1f}% of infer)")
+    log(f"fused levels+head  : {t_levels*1e3:7.2f} ms/group "
+        f"({100*t_levels/t_full:4.1f}% of infer)")
+    log(f"_infer_fn total    : {t_full*1e3:7.2f} ms/group")
+    log(f"streamed transcribe: {per_group*1e3:7.2f} ms/group wall "
+        f"({seconds/full:.0f}x RT; overlap-add+dispatch "
+        f"{(per_group-t_full)*1e3:.2f} ms/group)")
+    log(f"per-phase device RTF: analysis {audio_s_per_group/t_feat:.0f}x, "
+        f"levels {audio_s_per_group/t_levels:.0f}x")
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -141,6 +194,74 @@ def cmd_train(args):
             ts.append(time.perf_counter() - t0)
         log(f"{backend}: step {min(ts)*1000:.0f} ms "
             f"({B*blocks*3/min(ts):.1f} audio-s/s)")
+
+
+def cmd_pipeline(args):
+    """Steady-state Trainer step wall time with the loader active vs the
+    bare device step — shows the host→device upload hides under compute
+    via device_prefetch (train/loop.py; VERDICT r2 #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.data import DataLoader, constants
+    from timbre_trap_tpu.train import (TrainConfig, Trainer, TrainerConfig,
+                                       init_train_state, make_train_step)
+    from timbre_trap_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    m = _flagship()
+    B, blocks, n_batches = 8, 3, 12
+    L = m.sliCQ.block_length * blocks
+    M = m.sliCQ.get_expected_frames(L)
+    F = m.sliCQ.n_bins
+    rng = np.random.default_rng(0)
+
+    class SynthSet:
+        def __len__(self):
+            return B * n_batches
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                constants.KEY_TRACK: str(i),
+                constants.KEY_AUDIO: (r.standard_normal((1, L))
+                                      .astype(np.float32) * 0.1),
+                constants.KEY_GROUND_TRUTH: (r.uniform(size=(F, M)) > 0.97
+                                             ).astype(np.float32),
+            }
+
+    backend = args.backends.split(",")[0]
+
+    # Bare device step (no loader): same measurement as `train`.
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step = jax.jit(make_train_step(m, cfg, mpe_batch_size=B,
+                                   conv_backend=backend))
+    params, opt = init_train_state(m, cfg)
+    audio = jnp.asarray(rng.standard_normal((B, 1, L)) * 0.1, jnp.float32)
+    gt = jnp.asarray((rng.uniform(size=(B, F, M)) > 0.97), jnp.float32)
+    params, opt, met = step(params, opt, audio, gt, 1e-3)
+    float(met["loss/total"])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt, met = step(params, opt, audio, gt, 1e-3)
+        float(met["loss/total"])
+        ts.append(time.perf_counter() - t0)
+    bare = min(ts)
+    log(f"bare device step: {bare*1000:.0f} ms")
+
+    loader = DataLoader(SynthSet(), batch_size=B, num_workers=2, seed=0)
+    tc = TrainerConfig(max_epochs=1, checkpoint_interval=10 ** 9,
+                       batch_size=B, n_secs=blocks * 3.0,
+                       conv_backend=backend, root_dir="/tmp/tpu_perf_run")
+    trainer = Trainer(m, loader, None, [], tc)
+    trainer.run()  # epoch 1: compiles, warms caches
+    trainer.batch_count = 0  # rewind so run() re-enters with warm step cache
+    t0 = time.perf_counter()
+    trainer.run()  # epoch 2: steady state
+    per_step = (time.perf_counter() - t0) / n_batches
+    log(f"trainer step with loader active: {per_step*1000:.0f} ms "
+        f"(overhead vs bare {100 * (per_step / bare - 1):.1f}%)")
 
 
 def cmd_f1(args):
@@ -187,14 +308,18 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("level")
     sub.add_parser("e2e")
+    sub.add_parser("phases")
     pt = sub.add_parser("train")
     pt.add_argument("--backends", default="pallas,packed")
+    pp = sub.add_parser("pipeline")
+    pp.add_argument("--backends", default="pallas")
     pf = sub.add_parser("f1")
     pf.add_argument("--backends", default="pallas")
     sub.add_parser("truth")
     args = p.parse_args()
-    {"level": cmd_level, "e2e": cmd_e2e, "train": cmd_train,
-     "f1": cmd_f1, "truth": cmd_truth}[args.cmd](args)
+    {"level": cmd_level, "e2e": cmd_e2e, "phases": cmd_phases,
+     "train": cmd_train, "pipeline": cmd_pipeline, "f1": cmd_f1,
+     "truth": cmd_truth}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,10 @@ def parse_args():
                         "custom-VJP backward, 86 audio-s/s at the reference "
                         "recipe on one v5e chip), 'packed' (banded XLA), or "
                         "'flax'")
+    p.add_argument("--skip-connections", action="store_true",
+                   help="learnable per-level encoder->decoder skips "
+                        "(reference modules.py:61-66); supported on every "
+                        "conv backend")
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--n-octaves", type=int, default=9)
@@ -70,7 +74,7 @@ def main():
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
                        bins_per_octave=args.bins_per_octave, secs_per_block=3,
                        latent_size=128, model_complexity=2,
-                       skip_connections=False, seed=args.seed,
+                       skip_connections=args.skip_connections, seed=args.seed,
                        # remat matters only for the flax backend; the packed
                        # backend checkpoints per level internally and fits
                        # the reference batch/crop on one chip either way.

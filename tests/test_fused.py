@@ -142,10 +142,34 @@ def test_fused_level_train_shard_map_parity():
                                    atol=1e-5, rtol=1e-5)
 
 
-def test_fused_forward_skip_connections_unsupported():
-    net = TimbreTrapNet(feature_size=540, model_complexity=1,
-                        skip_connections=True)
-    assert not fused_supported(net)
+@pytest.mark.parametrize("transcribe", [False, True])
+def test_fused_forward_skip_connections_matches_net(transcribe):
+    """Skip-connection mode on the packed/pallas path: convin/convout run
+    as standalone one-conv levels and the scaled encoder embeddings are
+    added at level boundaries — must reproduce the flax decode exactly
+    (reference modules.py:61-66, 196-207)."""
+    rng = np.random.default_rng(5)
+    f_size = 540
+    net = TimbreTrapNet(feature_size=f_size, latent_size=32,
+                        model_complexity=1, skip_connections=True)
+    x = _rand(rng, 1, f_size, 24, net.in_channels)
+    params = dict(net.init(jax.random.PRNGKey(0), x)["params"])
+    assert fused_supported(net)
+    # non-trivial weights so the per-level scaling is actually exercised
+    params["skip_weights"] = jnp.asarray([0.5, 1.5, -0.7, 2.0, 0.9],
+                                         jnp.float32)
+
+    latents, embeddings, _ = net.apply({"params": params}, x,
+                                       method="encode")
+    embeddings = net.apply({"params": params}, embeddings,
+                           method="apply_skip_connections")
+    ref = net.apply({"params": params}, latents, embeddings, transcribe,
+                    method="decode")
+    ref_nchw = jnp.moveaxis(ref, -1, 1)
+
+    got = fused_forward(params, net, x, transcribe, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_nchw),
+                               atol=1e-4, rtol=1e-3)
 
 
 def test_fused_level_train_vjp_matches_xla_autodiff():

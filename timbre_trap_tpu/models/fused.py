@@ -20,9 +20,12 @@ Two conv backends execute the same banded level specs:
 
 Semantics match ``TimbreTrapNet`` (``models/modules.py``); the decoder
 switch (indicator channel / FiLM) follows ``modules.py:119-147`` and
-``:780-839``. Skip connections are not supported here (the flagship
-configuration ships without them, ``experiments/train.py:101``) — callers
-fall back to the flax path when they are enabled.
+``:780-839``. Skip connections (reference ``modules.py:61-66, 338-393``)
+are supported in every backend: the skip adds land on level *boundaries*
+(each level is its own kernel/einsum call), so with skips enabled convin
+and convout simply run as standalone one-conv "levels" instead of being
+fused into the first/last level, and the scaled encoder embeddings are
+added between level calls in plain jnp (differentiable, mesh-shardable).
 """
 
 from functools import partial
@@ -41,8 +44,27 @@ __all__ = ["fused_forward", "fused_supported", "packed_train_forward",
 
 
 def fused_supported(net):
-    """Whether the packed paths cover this network configuration."""
-    return not net.skip_connections
+    """Whether the packed paths cover this network configuration.
+
+    Always true since round 3 (skip connections run on the packed paths
+    too); kept as an API seam for future configurations.
+    """
+    return True
+
+
+def _conv2d_level_spec(conv_params, f, act, with_adjoints=False):
+    """A one-item LevelSpec running a single SAME 3x3 conv (+ optional ELU).
+
+    Used when skip connections unfuse convin/convout from their levels so
+    the post-convin embedding / pre-convout skip add are level boundaries.
+    """
+    from ..ops.fused_level import LevelSpec, _attach_conv2d_adjoint
+    from ..ops.packed_conv import build_conv2d_blocks
+
+    cb = build_conv2d_blocks(conv_params["kernel"], conv_params["bias"], f, 1)
+    if with_adjoints:
+        _attach_conv2d_adjoint(cb, conv_params["kernel"], f, 1)
+    return LevelSpec([("conv", cb, act)], cb.r_in)
 
 
 def packed_to_nchw(y, feature_size, channels):
@@ -102,33 +124,56 @@ def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
 
 def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
                   precision="default", interpret=False, remat=False,
-                  mesh=None):
-    """Packed features (B, F*C_in, T) -> latents (B, D, T)."""
+                  mesh=None, with_embeddings=False):
+    """Packed features (B, F*C_in, T) -> latents (B, D, T).
+
+    With ``with_embeddings`` (the skip-connection path) returns
+    ``(latents, embeddings)`` where embeddings are the 5 packed level
+    boundaries the flax encoder collects (after convin+ELU, then after
+    each of the 4 levels — reference ``modules.py:455-481``); convin then
+    runs as its own one-conv level instead of fused into level 1.
+    """
     sizes, _ = embedding_sizes(net.feature_size)
     enc = params["encoder"]
     adj = backend == "pallas_train"
     f = net.feature_size
+    embeddings = []
+    if with_embeddings:
+        spec_in = _conv2d_level_spec(enc["convin"], f, act=True,
+                                     with_adjoints=adj)
+        x = _apply_level(x, spec_in, backend, dtype, interpret, remat, mesh)
+        embeddings.append(x)
     for i in range(4):
         spec = encoder_level_spec(
             enc[f"block{i + 1}"], f,
-            convin_params=enc["convin"] if i == 0 else None,
+            convin_params=(enc["convin"]
+                           if i == 0 and not with_embeddings else None),
             with_adjoints=adj)
         x = _apply_level(x, spec, backend, dtype, interpret, remat, mesh)
+        if with_embeddings:
+            embeddings.append(x)
         f = sizes[i]
     w_lat, b_lat, _, _ = _latent_matmuls(params, net)
     latents = jnp.einsum("rl,brt->blt", w_lat, x.astype(jnp.float32),
                          precision=precision,
                          preferred_element_type=jnp.float32)
-    return latents + b_lat[None, :, None]
+    latents = latents + b_lat[None, :, None]
+    if with_embeddings:
+        return latents, embeddings
+    return latents
 
 
 def decode_packed(params, net, latents, transcribe, backend="pallas",
                   dtype=jnp.float32, precision="default", interpret=False,
-                  remat=False, mesh=None):
+                  remat=False, mesh=None, skips=None):
     """Latents (B, D, T) -> packed coefficients (B, F*C_out, T).
 
     Applies the decoder switch (reference modules.py:119-147 / :780-839)
     and the variant output activation (relu/sigmoid) in packed space.
+    ``skips``: the 5 *scaled* packed encoder embeddings (skip-connection
+    mode) — added exactly where the flax decoder adds them (after the
+    latent expansion and after each level, ``modules.py:196-207``), with
+    convout unfused from level 4 so the final add precedes it.
     """
     sizes, paddings = embedding_sizes(net.feature_size)
     dec = params["decoder"]
@@ -149,16 +194,27 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
     y = jnp.einsum("ri,bit->brt", w_dec, latents, precision=precision,
                    preferred_element_type=jnp.float32)
     y = jax.nn.elu(y + b_dec[None, :, None]).astype(dtype)
+    if skips is not None:
+        y = (y.astype(jnp.float32) + skips[4].astype(jnp.float32)
+             ).astype(dtype)
 
     f = sizes[-1]
     adj = backend == "pallas_train"
     for i in range(4):
         spec = decoder_level_spec(
             dec[f"block{i + 1}"], f, output_padding=paddings[i],
-            convout_params=dec["convout"] if i == 3 else None,
+            convout_params=(dec["convout"]
+                            if i == 3 and skips is None else None),
             with_adjoints=adj)
         y = _apply_level(y, spec, backend, dtype, interpret, remat, mesh)
         f = spec.items[0][1].f_out
+        if skips is not None:
+            y = (y.astype(jnp.float32) + skips[3 - i].astype(jnp.float32)
+                 ).astype(dtype)
+    if skips is not None:
+        spec_out = _conv2d_level_spec(dec["convout"], f, act=False,
+                                      with_adjoints=adj)
+        y = _apply_level(y, spec_out, backend, dtype, interpret, remat, mesh)
 
     y = y.astype(jnp.float32)
     if net.variant == "mag":
@@ -180,11 +236,24 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
     """
     precision = ("highest" if jnp.dtype(dtype) == jnp.float32 else "default")
     x = pack_nhwc(features).astype(dtype)
-    latents = encode_packed(params, net, x, "pallas", dtype, precision,
-                            interpret)
+    if net.skip_connections:
+        latents, embs = encode_packed(params, net, x, "pallas", dtype,
+                                      precision, interpret,
+                                      with_embeddings=True)
+        skips = _scale_skips(params, embs)
+    else:
+        latents = encode_packed(params, net, x, "pallas", dtype, precision,
+                                interpret)
+        skips = None
     y = decode_packed(params, net, latents, transcribe, "pallas", dtype,
-                      precision, interpret)
+                      precision, interpret, skips=skips)
     return packed_to_nchw(y, net.feature_size, net.in_channels)
+
+
+def _scale_skips(params, embeddings):
+    """Learnable per-level skip weights (reference modules.py:61-66)."""
+    sw = params["skip_weights"]
+    return [sw[i] * e.astype(jnp.float32) for i, e in enumerate(embeddings)]
 
 
 def packed_train_forward(params, net, features, consistency, backend="xla",
@@ -199,14 +268,27 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
     """
     kw = dict(backend=backend, dtype=jnp.float32, precision="default",
               interpret=interpret, remat=remat, mesh=mesh)
+    skip = net.skip_connections
     x = pack_nhwc(features)
-    latents = encode_packed(params, net, x, **kw)
-    reconstruction = decode_packed(params, net, latents, False, **kw)
-    transcription = decode_packed(params, net, latents, True, **kw)
+
+    def enc(v):
+        if skip:
+            latents, embs = encode_packed(params, net, v,
+                                          with_embeddings=True, **kw)
+            return latents, _scale_skips(params, embs)
+        return encode_packed(params, net, v, **kw), None
+
+    latents, skips = enc(x)
+    reconstruction = decode_packed(params, net, latents, False, skips=skips,
+                                   **kw)
+    transcription = decode_packed(params, net, latents, True, skips=skips,
+                                  **kw)
     if consistency:
-        latents_t = encode_packed(params, net, transcription, **kw)
-        trn_rec = decode_packed(params, net, latents_t, False, **kw)
-        trn_scr = decode_packed(params, net, latents_t, True, **kw)
+        latents_t, skips_t = enc(transcription)
+        trn_rec = decode_packed(params, net, latents_t, False, skips=skips_t,
+                                **kw)
+        trn_scr = decode_packed(params, net, latents_t, True, skips=skips_t,
+                                **kw)
     else:
         trn_rec, trn_scr = None, None
     return reconstruction, latents, transcription, trn_rec, trn_scr

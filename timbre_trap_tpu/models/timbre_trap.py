@@ -139,11 +139,7 @@ class TimbreTrap:
         return self.net.apply({"params": params}, features, consistency)
 
     def _use_fused(self):
-        from .fused import fused_supported
-
         if self.fused in (False, "off", None):
-            return False
-        if not fused_supported(self.net):
             return False
         return jax.default_backend() == "tpu"
 

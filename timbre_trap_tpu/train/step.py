@@ -145,11 +145,6 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
     packed = conv_backend in ("packed", "pallas")
-    if packed:
-        from ..models.fused import fused_supported
-
-        if not fused_supported(net):
-            raise ValueError("packed training requires skip_connections=False")
     # Under remat, coefficients flow through the loss in NCHW — the saved
     # residuals then have padding-free layouts (see models.modules).
     nchw = bool(getattr(net, "remat", False)) and not packed

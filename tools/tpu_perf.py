@@ -169,7 +169,14 @@ def cmd_train(args):
     from timbre_trap_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    m = _flagship()
+    if getattr(args, "skip", False):
+        from timbre_trap_tpu.models import TimbreTrap
+
+        m = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
+                       secs_per_block=3, latent_size=128, model_complexity=2,
+                       skip_connections=True)
+    else:
+        m = _flagship()
     cfg = TrainConfig(multiplier_consistency=1.0)
     B, blocks = 8, 3  # reference recipe: batch 8 x 9-s crops
     L = m.sliCQ.block_length * blocks
@@ -311,6 +318,8 @@ def main():
     sub.add_parser("phases")
     pt = sub.add_parser("train")
     pt.add_argument("--backends", default="pallas,packed")
+    pt.add_argument("--skip", action="store_true",
+                    help="skip_connections=True flagship variant")
     pp = sub.add_parser("pipeline")
     pp.add_argument("--backends", default="pallas")
     pf = sub.add_parser("f1")

@@ -86,6 +86,41 @@ def test_device_prefetch_orders_and_propagates(rng):
         list(device_prefetch(boom(), transfer=lambda b: b))
 
 
+def test_device_prefetch_slow_consumer_terminates():
+    """A consumer slower than the producer must still see the sentinel:
+    with the queue full at exhaustion the worker must keep offering it
+    (regression: a dropped put_nowait left the consumer waiting forever)."""
+    import time
+
+    from timbre_trap_tpu.data import device_prefetch
+
+    gen = device_prefetch(iter(range(6)), depth=2)
+    seen = []
+    for item in gen:
+        time.sleep(0.05)  # producer finishes + fills the queue meanwhile
+        seen.append(item)
+    assert seen == list(range(6))
+
+
+def test_device_prefetch_close_stops_worker():
+    """Closing mid-iteration (early stop) unblocks and stops the worker."""
+    import threading
+
+    from timbre_trap_tpu.data import device_prefetch
+
+    n_before = threading.active_count()
+    gen = device_prefetch(iter(range(100)), depth=2)
+    assert next(gen) == 0
+    gen.close()
+    for _ in range(50):
+        if threading.active_count() <= n_before:
+            break
+        import time
+
+        time.sleep(0.1)
+    assert threading.active_count() <= n_before
+
+
 def test_profiler_trace_writes(tmp_path):
     import jax.numpy as jnp
 

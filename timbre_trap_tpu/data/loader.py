@@ -75,20 +75,26 @@ class DataLoader:
                 yield self.collate_fn([f.result() for f in futures])
 
 
-def device_prefetch(iterator, transfer, depth=2):
-    """Wrap a host batch iterator so device transfer overlaps consumption.
+def device_prefetch(iterator, transfer=None, depth=2):
+    """Stage up to ``depth`` batches ahead on a background thread.
 
-    ``transfer`` maps a host batch to device arrays (e.g. a sharded
-    ``jax.device_put``). Up to ``depth`` batches are staged ahead on a
-    background thread, so the host→device upload of batch k+1 rides under
-    the device step on batch k (reference overlap: torch workers +
-    pin_memory, ``train.py:273-287``).
+    ``transfer`` (optional) maps a host batch before staging. CAUTION on
+    tunneled TPU runtimes: do NOT pass a ``jax.device_put`` here if the
+    consumer ever fetches device values while staged batches are pending —
+    a device->host fetch deadlocks until every device_put issued from
+    another thread has been consumed by a dispatch (measured; see
+    .claude/skills/verify/SKILL.md). The Trainer therefore prefetches HOST
+    batches only and issues its (asynchronous) device_put from the main
+    thread (reference overlap: torch workers + pin_memory,
+    ``train.py:273-287``).
 
     Closing the returned generator (``gen.close()``, or a ``break`` that
     drops the last reference) stops the worker thread promptly — the
     Trainer breaks out mid-epoch on early stop and must not leave threads
     iterating the loader.
     """
+    if transfer is None:
+        transfer = lambda batch: batch  # noqa: E731 - identity staging
     q = queue.Queue(maxsize=depth)
     sentinel = object()
     stop = threading.Event()
@@ -111,10 +117,15 @@ def device_prefetch(iterator, transfer, depth=2):
         except BaseException as e:  # propagate to consumer
             error.append(e)
         finally:
-            try:
-                q.put_nowait(sentinel)
-            except queue.Full:
-                pass  # consumer closed and stopped draining; stop is set
+            # The queue may be FULL of unconsumed batches here (slow
+            # consumer) — keep trying until the sentinel lands or the
+            # consumer closed us, else the consumer waits forever.
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()

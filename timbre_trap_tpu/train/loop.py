@@ -207,8 +207,15 @@ class Trainer:
         return audio, gt
 
     def _transfer(self, batch):
-        """Host batch -> device arrays (runs on the prefetch thread, so the
-        upload of batch k+1 overlaps the device step on batch k)."""
+        """Host batch -> device arrays.
+
+        MUST run on the MAIN thread: on tunneled TPU runtimes a
+        device->host fetch (metrics logging, validation) deadlocks while
+        a device_put issued from another thread is still unconsumed
+        (measured; see .claude/skills/verify/SKILL.md). device_put is
+        asynchronous, so issuing batch k+1's transfer right after
+        dispatching the step on batch k still overlaps upload with device
+        compute — without any cross-thread device traffic."""
         audio, gt = batch
         if self.mesh is not None:
             # Process-aware: on multi-host pods each process contributes
@@ -250,16 +257,23 @@ class Trainer:
             transcription_active = epoch >= c.n_epochs_late_start
             step_fn = self._get_step(transcription_active)
 
-            # Device transfer rides a prefetch thread: the upload of batch
-            # k+1 overlaps the device step on batch k (VERDICT r2 #5;
-            # reference overlap: DataLoader workers + pin_memory).
+            # Batch composition rides a prefetch thread (host work only);
+            # the main thread issues batch k+1's asynchronous device_put
+            # right after dispatching the step on batch k, so the upload
+            # overlaps device compute (VERDICT r2 #5; reference overlap:
+            # DataLoader workers + pin_memory). Device transfers must stay
+            # on the main thread — see _transfer.
             batches = device_prefetch(
                 self._epoch_batches(epoch, start_epoch, skip_batches),
-                self._transfer, depth=2)
+                depth=2)
             try:
-                for audio, gt in batches:
+                nxt = next(batches, None)
+                dev = self._transfer(nxt) if nxt is not None else None
+                while dev is not None:
+                    audio, gt = dev
                     self.batch_count += 1
 
+                    # host-side schedule math: no device round trip per step
                     lr = c.learning_rate * float(
                         self.warmup(self.batch_count - 1))
                     lr *= self.plateau.scale
@@ -267,6 +281,8 @@ class Trainer:
                     self.params, self.opt_state, metrics = step_fn(
                         self.params, self.opt_state, audio, gt,
                         jnp.float32(lr))
+                    nxt = next(batches, None)
+                    dev = self._transfer(nxt) if nxt is not None else None
                     self._log(metrics)
 
                     if self.batch_count % c.checkpoint_interval == 0:

@@ -14,7 +14,7 @@ The plateau logic is imperative host state around the pure jitted train step
 
 import math
 
-import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["cosine_warmup", "PlateauDecay"]
 
@@ -24,15 +24,20 @@ def cosine_warmup(n_steps):
 
     Matches the reference closed form (``utils/experiments.py:129-141``)
     where ``step`` counts completed optimizer steps (the reference's
-    ``last_epoch``). Works with Python ints or traced arrays.
+    ``last_epoch``). Pure HOST math (numpy): the trainer evaluates this
+    every batch and feeds the result in as a jit argument — a device
+    computation here would mean a device->host scalar fetch per step,
+    which both costs a round trip and (on tunneled runtimes) cannot run
+    while prefetched input uploads are pending.
     """
     n_steps = max(0, int(n_steps))
 
     def schedule(step):
         if n_steps == 0:
-            return jnp.ones_like(jnp.asarray(step, jnp.float32))
-        curr = 1 + jnp.minimum(jnp.asarray(step, jnp.float32), float(n_steps))
-        return 1.0 - 0.5 * (1.0 + jnp.cos(curr * math.pi / (n_steps + 1)))
+            return np.float32(1.0)
+        curr = 1 + min(float(np.asarray(step)), float(n_steps))
+        return np.float32(
+            1.0 - 0.5 * (1.0 + math.cos(curr * math.pi / (n_steps + 1))))
 
     return schedule
 

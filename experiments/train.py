@@ -43,7 +43,7 @@ def parse_args():
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel over the first N devices")
     p.add_argument("--conv-backend", default="pallas",
-                   choices=["pallas", "packed", "flax"],
+                   choices=["pallas", "pallas_bf16", "packed", "flax"],
                    help="train-step conv path: 'pallas' (fused kernels with "
                         "custom-VJP backward, 86 audio-s/s at the reference "
                         "recipe on one v5e chip), 'packed' (banded XLA), or "

@@ -207,3 +207,47 @@ def test_fused_level_train_vjp_matches_xla_autodiff():
     for path, l2 in jax.tree_util.tree_leaves_with_path(g2[0]):
         np.testing.assert_allclose(np.asarray(l2), np.asarray(flat1[path]),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_fused_level_train_bf16_close_to_f32():
+    """The mixed-precision (bf16 storage, f32 accumulate) fused training
+    level tracks the f32 XLA autodiff values and gradients to bf16
+    tolerance — gradients keep full-precision (f32) leaves."""
+    from timbre_trap_tpu.ops.fused_level import (make_fused_level_train,
+                                                 packed_level_apply_xla)
+
+    rng = np.random.default_rng(0)
+    B, T, C, F = 1, 24, 4, 40
+    x0 = _rand(rng, B, F, T, C)
+    mod = EncoderBlock(out_channels=2 * C)
+    params = mod.init(jax.random.PRNGKey(1), x0)["params"]
+    xp = pack_nhwc(x0)
+    spec0 = encoder_level_spec(params, F, with_adjoints=True)
+    w_ref = _rand(rng, B, spec0.r_out, T)
+
+    def loss_bf16(params, xp):
+        spec = encoder_level_spec(params, F, with_adjoints=True)
+        fn = make_fused_level_train(spec, tile_t=128, interpret=True,
+                                    dtype=jnp.bfloat16)
+        arrays = (spec.weight_arrays(jnp.float32)
+                  + spec.adjoint_arrays(jnp.float32))
+        return jnp.sum(fn(xp, *arrays) * w_ref)
+
+    def loss_xla(params, xp):
+        spec = encoder_level_spec(params, F, with_adjoints=True)
+        return jnp.sum(packed_level_apply_xla(xp, spec) * w_ref)
+
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=(0, 1))(params, xp)
+    v2, g2 = jax.value_and_grad(loss_bf16, argnums=(0, 1))(params, xp)
+    assert float(v1) == pytest.approx(float(v2), rel=2e-2)
+    assert g2[1].dtype == jnp.float32
+    # direction agreement: bf16 rounding bounds elementwise mismatch
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=5e-2 * float(jnp.max(jnp.abs(g1[1]))))
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1[0]))
+    for path, l2 in jax.tree_util.tree_leaves_with_path(g2[0]):
+        ref = np.asarray(flat1[path])
+        assert l2.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(l2), ref,
+                                   atol=5e-2 * max(1e-3, np.abs(ref).max()),
+                                   err_msg=str(path))

@@ -253,6 +253,56 @@ def test_packed_train_step_matches_flax():
                                    atol=5e-4)
 
 
+def test_pallas_bf16_train_step(tiny_model, rng):
+    """The mixed-precision backend trains: losses track the f32 packed
+    backend to bf16 tolerance and decrease over steps."""
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    audio, gt = _fake_batch(tiny_model, 2, 2, rng)
+
+    step_ref = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2,
+                                       conv_backend="packed"))
+    step_bf16 = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2,
+                                        conv_backend="pallas_bf16",
+                                        interpret=True))
+    params, opt = init_train_state(tiny_model, cfg)
+    _, _, m_ref = step_ref(params, opt, audio, gt, 1e-3)
+
+    losses = []
+    p, o = params, opt
+    for _ in range(3):
+        p, o, m = step_bf16(p, o, audio, gt, 1e-3)
+        losses.append(float(m["loss/total"]))
+    assert float(m_ref["loss/total"]) == pytest.approx(losses[0], rel=2e-2)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_compact_upload_step_matches_f32(tiny_model, rng):
+    """int16/uint8 quantized batch uploads (Trainer compact_uploads)
+    dequantize on device to the same step result as f32 inputs within
+    quantization tolerance, with exact {0,1} ground-truth endpoints."""
+    from timbre_trap_tpu.train import TRAIN_AUDIO_SCALE
+
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2))
+    params, opt = init_train_state(tiny_model, cfg)
+    audio, gt = _fake_batch(tiny_model, 2, 2, rng)
+
+    a16 = np.clip(np.rint(np.asarray(audio) * TRAIN_AUDIO_SCALE),
+                  -32768, 32767).astype(np.int16)
+    g8 = np.rint(np.clip(np.asarray(gt), 0, 1) * 255).astype(np.uint8)
+    # the step must trace/execute both dtype signatures
+    _, _, m_f32 = step(params, opt, audio, gt, 1e-3)
+    _, _, m_q = step(params, opt, jnp.asarray(a16), jnp.asarray(g8), 1e-3)
+    for key in ("loss/total", "loss/transcription"):
+        assert float(m_f32[key]) == pytest.approx(float(m_q[key]), rel=2e-3)
+    # exact dequantization of binary ground truth: identical transcription
+    # loss when the audio is ALSO exactly representable
+    audio_snap = jnp.asarray(a16, jnp.float32) / TRAIN_AUDIO_SCALE
+    _, _, m_snap = step(params, opt, audio_snap, jnp.asarray(g8, jnp.float32)
+                        / 255.0, 1e-3)
+    assert float(m_snap["loss/total"]) == float(m_q["loss/total"])
+
+
 @pytest.mark.parametrize("backend", ["packed", "pallas"])
 def test_skip_connections_train_backends_match_flax(backend):
     """Skip-connection models train on the packed/pallas backends with the

@@ -96,8 +96,10 @@ def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
     elif backend == "pallas_train":
         # Differentiable fused level: Pallas forward + Pallas backward
         # (adjoint banded blocks); residuals are just the level input, so no
-        # outer jax.checkpoint is needed.
-        train_fn = make_fused_level_train(spec, interpret=interpret)
+        # outer jax.checkpoint is needed. ``dtype=bfloat16`` selects the
+        # mixed-precision mode (bf16 storage/operands, f32 accumulation).
+        train_fn = make_fused_level_train(spec, interpret=interpret,
+                                          dtype=dtype)
         arrays = (spec.weight_arrays(jnp.float32)
                   + spec.adjoint_arrays(jnp.float32))
         if mesh is not None:
@@ -257,16 +259,19 @@ def _scale_skips(params, embeddings):
 
 
 def packed_train_forward(params, net, features, consistency, backend="xla",
-                         remat=True, interpret=False, mesh=None):
+                         remat=True, interpret=False, mesh=None,
+                         dtype=jnp.float32):
     """Training-mode forward on packed tensors.
 
     Returns (reconstruction, latents, transcription, transcription_rec,
     transcription_scr) with all coefficients PACKED (B, F*C, T) — the same
     quantities as ``TimbreTrapNet.__call__`` (reference modules.py:338-393)
     in the padding-free layout. ``remat`` checkpoints each level so only
-    packed level inputs are saved for the backward pass.
+    packed level inputs are saved for the backward pass. ``dtype=bfloat16``
+    (pallas_train backend) stores level activations bf16 with f32
+    accumulation — the mixed-precision training mode.
     """
-    kw = dict(backend=backend, dtype=jnp.float32, precision="default",
+    kw = dict(backend=backend, dtype=dtype, precision="default",
               interpret=interpret, remat=remat, mesh=mesh)
     skip = net.skip_connections
     x = pack_nhwc(features)

@@ -306,10 +306,13 @@ def _elu_grad(z):
 
 
 def _adjoint_apply(dz, g_adj, blocks_ref, precision):
-    """Backprop a conv: cotangent (>= r_in rows, W) -> (r_out rows, W)."""
+    """Backprop a conv: cotangent (>= r_in rows, W) -> (r_out rows, W).
+
+    The cotangent slab is stored at the adjoint blocks' dtype (bf16 in the
+    mixed-precision training mode) and the dot accumulates f32.
+    """
     top, bottom = _slab_geometry(g_adj)
-    slab = _make_slab(dz.astype(jnp.float32), top, bottom, g_adj.r_in,
-                      jnp.float32)
+    slab = _make_slab(dz, top, bottom, g_adj.r_in, blocks_ref.dtype)
     y = _conv_stage(slab, g_adj, blocks_ref, None, precision)
     return y[:g_adj.r_out]
 
@@ -664,7 +667,7 @@ def _pallas_bwd_call(geom, adj_geom, x, dy, weights, adjs, dtype, tile_t,
 
 
 def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
-                           precision="default"):
+                           precision="default", dtype=jnp.float32):
     """Differentiable fused level: Pallas forward AND Pallas backward.
 
     Returns ``fn(x, *arrays)`` where ``arrays = spec.weight_arrays(f32) +
@@ -675,15 +678,29 @@ def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
     rearrangements of the same parameters; their gradient flows through the
     forward blocks). ``precision="default"`` matches the training-path
     numerics of the XLA backends.
+
+    ``dtype=bfloat16`` is the mixed-precision training mode: level
+    activations/slabs are STORED bf16 and the forward/adjoint matmuls run
+    with bf16 operands, while every accumulation — conv outputs, dX, dW,
+    dBias — stays float32 (the standard bf16-compute/f32-accumulate
+    recipe). The differentiable weight arrays remain f32 (they are cast
+    once per step outside the kernels), so parameter gradients and the
+    optimizer see full-precision leaves.
     """
     geom = spec.geom()
     adj_geom = spec.adjoint_geom()
     n_conv = _n_convs(geom)
-    dtype = jnp.float32
     tt = tile_t or default_tile_t(dtype)
+    cast = (lambda w: w.astype(dtype)) if jnp.dtype(dtype) != jnp.float32 \
+        else (lambda w: w)
+
+    def _mats(arrays):
+        # blocks at storage dtype, biases f32 (they add into f32 accum)
+        ws = list(arrays[:2 * n_conv])
+        return [cast(w) if i % 2 == 0 else w for i, w in enumerate(ws)]
 
     def primal(x, *arrays):
-        return _pallas_fwd_call(geom, x, list(arrays[:2 * n_conv]), dtype,
+        return _pallas_fwd_call(geom, x, _mats(arrays), dtype,
                                 tt, interpret, precision)
 
     @jax.custom_vjp
@@ -695,11 +712,12 @@ def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
 
     def f_bwd(res, gy):
         x = res[0]
-        weights = list(res[1:1 + 2 * n_conv])
-        adjs = list(res[1 + 2 * n_conv:])
+        weights = _mats(res[1:1 + 2 * n_conv])
+        adjs = [cast(a) for a in res[1 + 2 * n_conv:]]
         dx, dws = _pallas_bwd_call(geom, adj_geom, x, gy, weights, adjs,
                                    dtype, tt, interpret, precision)
-        dadj = tuple(jnp.zeros_like(a) for a in adjs)
+        dadj = tuple(jnp.zeros_like(a, jnp.float32)
+                     for a in res[1 + 2 * n_conv:])
         return (dx,) + tuple(dws) + dadj
 
     f.defvjp(f_fwd, f_bwd)

@@ -2,6 +2,7 @@ from .schedules import cosine_warmup, PlateauDecay
 from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint, load_params
 from .loop import TrainerConfig, Trainer
 from .step import (
+    TRAIN_AUDIO_SCALE,
     TrainConfig,
     make_optimizer,
     make_train_step,
@@ -19,6 +20,7 @@ __all__ = [
     "load_params",
     "TrainerConfig",
     "Trainer",
+    "TRAIN_AUDIO_SCALE",
     "TrainConfig",
     "make_optimizer",
     "make_train_step",

@@ -26,7 +26,8 @@ from ..eval.evaluation import evaluate
 from ..parallel import make_mesh, shard_global_batch
 from .checkpoint import save_checkpoint
 from .schedules import PlateauDecay, cosine_warmup
-from .step import TrainConfig, init_train_state, make_train_step, shard_train_step
+from .step import (TRAIN_AUDIO_SCALE, TrainConfig, init_train_state,
+                   make_train_step, shard_train_step)
 
 __all__ = ["TrainerConfig", "Trainer"]
 
@@ -51,9 +52,11 @@ class TrainerConfig:
     n_epochs_cooldown: int = 100
     n_epochs_early_stop: Optional[int] = None
     n_devices: Optional[int] = None  # None = single device, no mesh
-    # Conv backend for the train step: "flax" (NHWC modules) or "packed"
-    # (banded f-major forward, models/fused.py) — "packed" is what fits the
-    # reference batch recipe (8 x 9-s crops) in single-chip HBM.
+    # Conv backend for the train step: "flax" (NHWC modules), "packed"
+    # (banded f-major forward, models/fused.py — fits the reference batch
+    # recipe in single-chip HBM), "pallas" (fused kernels + custom-VJP
+    # backward, the fast path), or "pallas_bf16" (mixed precision: bf16
+    # level storage, f32 accumulation).
     conv_backend: str = "flax"
     # Optimizer surface (reference train.py:334: torch AdamW defaults).
     weight_decay: float = 0.01
@@ -61,6 +64,11 @@ class TrainerConfig:
     # reaches the reference global batch on fewer chips when HBM bounds the
     # per-step batch.
     grad_accum_steps: int = 1
+    # Quantize batch uploads (audio -> int16 on a fixed ±8 grid, ground
+    # truth -> uint8/255; dequantized on device) so the host->device
+    # transfer hides under the device step on tunneled runtimes. Exact for
+    # {0,1} ground truth; q <= 2.4e-4 on audio.
+    compact_uploads: bool = True
     seed: int = 2
     root_dir: str = "runs"
 
@@ -197,13 +205,26 @@ class Trainer:
         return self.batch_count
 
     def _compose_batch(self, data_mpe, data_audio):
-        """Host-side numpy composition of one training batch."""
+        """Host-side numpy composition of one training batch.
+
+        Runs on the prefetch thread. With ``compact_uploads`` (default) the
+        batch is quantized for transfer — audio to int16 on a fixed ±8 grid
+        (covers summed-stem mixes; q ≈ 2.4e-4) and the [0,1] ground-truth
+        raster to uint8 — cutting the reference-recipe upload from 72 MB to
+        23 MB per batch so it hides under the device step; the train step
+        dequantizes on device (train/step.py), keeping the {0,1} endpoints
+        exact for the positive-class weighting.
+        """
         audio = np.asarray(data_mpe[constants.KEY_AUDIO], np.float32)
         gt = np.asarray(data_mpe[constants.KEY_GROUND_TRUTH], np.float32)
         if data_audio is not None:
             audio = np.concatenate(
                 [audio, np.asarray(data_audio[constants.KEY_AUDIO],
                                    np.float32)], axis=0)
+        if self.config.compact_uploads:
+            audio = np.clip(np.rint(audio * TRAIN_AUDIO_SCALE),
+                            -32768, 32767).astype(np.int16)
+            gt = np.rint(np.clip(gt, 0.0, 1.0) * 255.0).astype(np.uint8)
         return audio, gt
 
     def _transfer(self, batch):

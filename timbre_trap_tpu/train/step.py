@@ -26,8 +26,15 @@ import optax
 
 from ..parallel.mesh import batch_sharded, replicated
 
-__all__ = ["TrainConfig", "make_optimizer", "make_train_step",
-           "shard_train_step", "init_train_state", "grad_norm_telemetry"]
+__all__ = ["TrainConfig", "TRAIN_AUDIO_SCALE", "make_optimizer",
+           "make_train_step", "shard_train_step", "init_train_state",
+           "grad_norm_telemetry"]
+
+# int16 grid for compact trainer audio uploads: range +-8 covers the
+# StemMixingDataset worst case (<= 5 summed infinity-normalized stems,
+# data/base.py:90-131) with quantization 1/4096 ~= 2.4e-4 — far below the
+# audio noise floor; features run under stop_gradient either way.
+TRAIN_AUDIO_SCALE = 4096.0
 
 
 @dataclass(frozen=True)
@@ -131,7 +138,8 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     fits the reference training recipe (batch 8 x 9-s crops,
     train.py:39-101) in single-chip HBM; "pallas" additionally executes
     each level as the fused Pallas kernels with a custom-VJP Pallas
-    backward (adjoint banded blocks).
+    backward (adjoint banded blocks); "pallas_bf16" is the mixed-precision
+    variant (bf16 level storage/operands, f32 accumulation everywhere).
 
     ``mesh`` (pallas backend only): run each fused level under
     ``jax.shard_map`` over the mesh's leading axis so the production kernel
@@ -144,7 +152,7 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     features_from_audio = model.features_from_audio
     to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
-    packed = conv_backend in ("packed", "pallas")
+    packed = conv_backend in ("packed", "pallas", "pallas_bf16")
     # Under remat, coefficients flow through the loss in NCHW — the saved
     # residuals then have padding-free layouts (see models.modules).
     nchw = bool(getattr(net, "remat", False)) and not packed
@@ -155,12 +163,15 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
         from ..models.fused import packed_to_nchw, packed_train_forward
         from ..ops.packed_conv import pack_nhwc
 
+        pallas = conv_backend.startswith("pallas")
         rec, _, trn, trn_rec, trn_scr = packed_train_forward(
             params, net, features, consistency,
-            backend="pallas_train" if conv_backend == "pallas" else "xla",
-            remat=conv_backend != "pallas",
-            mesh=mesh if conv_backend == "pallas" else None,
-            interpret=interpret)
+            backend="pallas_train" if pallas else "xla",
+            remat=not pallas,
+            mesh=mesh if pallas else None,
+            interpret=interpret,
+            dtype=(jnp.bfloat16 if conv_backend == "pallas_bf16"
+                   else jnp.float32))
         target = pack_nhwc(features)
         activations = model.to_activations(
             packed_to_nchw(trn, net.feature_size, net.in_channels))
@@ -221,6 +232,17 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
         return total, metrics
 
     def step(params, opt_state, audio, ground_truth, lr):
+        # Compact-upload dequantization (Trainer._compose_batch): training
+        # inputs may arrive as int16 audio on a fixed +-8 grid and uint8
+        # ground truth on a /255 grid — 72 MB -> 23 MB per reference-recipe
+        # batch, which hides the host->device upload under the device step
+        # on tunneled runtimes (~62 MB/s measured). Dequantization restores
+        # exact {0,1} endpoints, so the ==1 positive-class weighting below
+        # is unaffected.
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) * (1.0 / TRAIN_AUDIO_SCALE)
+        if ground_truth.dtype == jnp.uint8:
+            ground_truth = ground_truth.astype(jnp.float32) * (1.0 / 255.0)
         features = features_from_audio(audio)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, features, ground_truth)

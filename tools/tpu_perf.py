@@ -262,10 +262,19 @@ def cmd_pipeline(args):
                        batch_size=B, n_secs=blocks * 3.0,
                        conv_backend=backend, root_dir="/tmp/tpu_perf_run")
     trainer = Trainer(m, loader, None, [], tc)
+
+    def drain():
+        # run() dispatches asynchronously and never fetches (writer off) —
+        # force the queued device work to finish so the epoch timing below
+        # measures THIS epoch, not the previous one's backlog.
+        float(jnp.sum(jax.tree.leaves(trainer.params)[0]))
+
     trainer.run()  # epoch 1: compiles, warms caches
+    drain()
     trainer.batch_count = 0  # rewind so run() re-enters with warm step cache
     t0 = time.perf_counter()
     trainer.run()  # epoch 2: steady state
+    drain()
     per_step = (time.perf_counter() - t0) / n_batches
     log(f"trainer step with loader active: {per_step*1000:.0f} ms "
         f"(overhead vs bare {100 * (per_step / bare - 1):.1f}%)")

@@ -52,6 +52,21 @@ def parse_args():
                    help="learnable per-level encoder->decoder skips "
                         "(reference modules.py:61-66); supported on every "
                         "conv backend")
+    p.add_argument("--weight-decay", type=float, default=0.01,
+                   help="AdamW weight decay (reference train.py:334)")
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="average gradients over k steps before the update "
+                        "(reach the reference global batch on fewer chips)")
+    p.add_argument("--no-compact-uploads", action="store_true",
+                   help="disable int16/uint8 batch-upload quantization")
+    p.add_argument("--audio-datasets", default="",
+                   help="comma-separated audio-only corpora mixed into each "
+                        "batch: fma, medleydb_mixtures, medleydb_stems "
+                        "(reference train.py:196-255; when set, the batch "
+                        "and workers split half MPE / half audio-only per "
+                        "train.py:261-270)")
+    p.add_argument("--fma-dir", default=None)
+    p.add_argument("--medleydb-dir", default=None)
     p.add_argument("--seed", type=int, default=2)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--n-octaves", type=int, default=9)
@@ -105,11 +120,54 @@ def main():
             sample_rate=args.sample_rate, cqt=model.sliCQ,
             n_secs=args.n_secs, seed=args.seed))
 
+    # Audio-only corpora (reconstruction-only rows appended to each batch —
+    # reference train.py:196-255, where they are present but commented out).
+    # When requested, batch and workers split half MPE / half audio-only
+    # (train.py:261-270).
+    audio_train = []
+    for name in filter(None, args.audio_datasets.split(",")):
+        if name == "fma":
+            from timbre_trap_tpu.data.datasets.AudioMixtures import FMA
+
+            audio_train.append(FMA(base_dir=args.fma_dir, splits=None,
+                                   sample_rate=args.sample_rate,
+                                   n_secs=args.n_secs, seed=args.seed))
+        elif name == "medleydb_mixtures":
+            from timbre_trap_tpu.data.datasets.AudioMixtures import MedleyDB
+
+            audio_train.append(MedleyDB(base_dir=args.medleydb_dir,
+                                        splits=None,
+                                        sample_rate=args.sample_rate,
+                                        n_secs=args.n_secs, seed=args.seed))
+        elif name == "medleydb_stems":
+            from timbre_trap_tpu.data.datasets.AudioStems import MedleyDB
+
+            audio_train.append(MedleyDB(base_dir=args.medleydb_dir,
+                                        splits=None,
+                                        sample_rate=args.sample_rate,
+                                        n_secs=args.n_secs, seed=args.seed))
+        else:
+            raise SystemExit(f"unknown --audio-datasets entry: {name!r}")
+
+    if audio_train:
+        audio_batch_size = args.batch_size // 2
+        audio_workers = args.n_workers // 2
+    else:
+        audio_batch_size, audio_workers = 0, 0
+    mpe_batch_size = args.batch_size - audio_batch_size
+    mpe_workers = args.n_workers - audio_workers
+
     mpe_train = ComboDataset(mpe_train)
-    mpe_loader = DataLoader(mpe_train, batch_size=args.batch_size,
-                            shuffle=True, num_workers=args.n_workers,
+    mpe_loader = DataLoader(mpe_train, batch_size=mpe_batch_size,
+                            shuffle=True, num_workers=mpe_workers,
                             drop_last=True, seed=args.seed)
-    audio_loader = None  # audio-only corpora are commented out in the reference
+    if audio_train:
+        audio_loader = DataLoader(ComboDataset(audio_train),
+                                  batch_size=audio_batch_size, shuffle=True,
+                                  num_workers=audio_workers, drop_last=True,
+                                  seed=args.seed + 1)
+    else:
+        audio_loader = None
 
     validation_sets = []
     validation_sets.append(URMP_Mixtures(
@@ -149,6 +207,9 @@ def main():
         n_epochs_early_stop=args.n_epochs_early_stop,
         n_devices=args.n_devices,
         conv_backend=args.conv_backend,
+        weight_decay=args.weight_decay,
+        grad_accum_steps=args.grad_accum_steps,
+        compact_uploads=not args.no_compact_uploads,
         seed=args.seed,
         root_dir=args.root_dir,
     )

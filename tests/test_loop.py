@@ -115,6 +115,40 @@ def test_trainer_end_to_end(model, corpus, tmp_path):
     assert os.path.exists(os.path.join(config.root_dir, "config.json"))
 
 
+def test_trainer_dual_loader(model, corpus, tmp_path):
+    """MPE + audio-only loaders compose a mixed batch: audio-only rows are
+    appended after the MPE rows and contribute reconstruction loss only
+    (reference train.py:263-290,393-398); compact uploads stay on."""
+    from timbre_trap_tpu.data import AudioDataset
+
+    class ToyAudio(AudioDataset):
+        @staticmethod
+        def available_splits():
+            return ["all"]
+
+        def get_tracks(self, split):
+            return sorted(f[:-4] for f in os.listdir(self.base_dir)
+                          if f.endswith(".wav"))
+
+        def get_audio_path(self, track):
+            return os.path.join(self.base_dir, f"{track}.wav")
+
+    mpe_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                     cqt=model.sliCQ, n_secs=0.5, seed=0)
+    audio_set = ToyAudio(base_dir=corpus, splits=["all"], sample_rate=SR,
+                         n_secs=0.5, seed=1)
+    mpe_loader = DataLoader(mpe_set, batch_size=2, drop_last=True)
+    audio_loader = DataLoader(audio_set, batch_size=2, drop_last=True)
+    config = TrainerConfig(max_epochs=1, checkpoint_interval=1000,
+                           batch_size=4, n_secs=0.5,
+                           root_dir=str(tmp_path / "run_dual"))
+    trainer = Trainer(model, mpe_loader, audio_loader, [], config)
+    trainer.run()
+    assert trainer.batch_count == 2  # min(len(mpe), len(audio)) batches
+    # the jitted step was built for the 2-row MPE slice of the 4-row batch
+    assert trainer.mpe_batch_size == 2
+
+
 def test_trainer_late_start(model, corpus, tmp_path):
     train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
                        cqt=model.sliCQ, n_secs=0.5, seed=0)

@@ -83,6 +83,44 @@ def main():
     rt_elapsed = _time(lambda: float(jnp.sum(fwd_inv(rt_audio))), iters=5)
     frames_per_sec = n_frames / rt_elapsed
 
+    # Training throughput at the reference recipe (batch 8 x 9-s crops,
+    # consistency on) on the production mixed-precision backend — the
+    # reference's one training configuration (train.py:39-101).
+    train_step_ms = None
+    train_audio_s_per_s = None
+    if os.environ.get("TT_TPU_BENCH_TRAIN", "1") != "0":
+        from timbre_trap_tpu.train import (TrainConfig, init_train_state,
+                                           make_train_step)
+
+        for attempt in range(3):
+            try:
+                cfg = TrainConfig(multiplier_consistency=1.0)
+                B, blocks = 8, 3
+                L = model.sliCQ.block_length * blocks
+                M = model.sliCQ.get_expected_frames(L)
+                tr_audio = jax.device_put(jnp.asarray(
+                    rng.standard_normal((B, 1, L)) * 0.1, jnp.float32))
+                tr_gt = jax.device_put(jnp.asarray(
+                    (rng.uniform(size=(B, model.sliCQ.n_bins, M)) > 0.97),
+                    jnp.float32))
+                step = jax.jit(make_train_step(model, cfg, mpe_batch_size=B,
+                                               conv_backend="pallas_bf16"))
+                params, opt = init_train_state(model, cfg)
+
+                def one_step():
+                    nonlocal params, opt
+                    params, opt, met = step(params, opt, tr_audio, tr_gt,
+                                            1e-3)
+                    float(met["loss/total"])
+
+                elapsed_tr = _time(one_step)
+                train_step_ms = round(elapsed_tr * 1e3, 1)
+                train_audio_s_per_s = round(B * blocks * 3 / elapsed_tr, 1)
+                break
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                print(f"# train bench attempt {attempt + 1} failed: {exc}",
+                      file=sys.stderr)
+
     # Quality regression tracker: deterministic synthetic-polyphony training
     # F1 (the reference's validation-during-training signal, hermetic).
     # Retried: the remote-compile service occasionally 500s (transient,
@@ -122,6 +160,8 @@ def main():
         "device_rtf": round(device_rtf, 2),
         "int16_rtf": round(int16_rtf, 2),
         "cqt_fwd_inv_frames_per_sec": round(frames_per_sec, 1),
+        "train_step_ms": train_step_ms,
+        "train_audio_s_per_s": train_audio_s_per_s,
         "mpe_f1": mpe_f1,
         "mpe_f1_consistency": mpe_f1_consistency,
     }))

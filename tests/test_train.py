@@ -123,15 +123,20 @@ def test_data_parallel_matches_single_device(tiny_model, rng):
 
 
 @pytest.mark.parametrize("variant", ["film", "magdb"])
-def test_train_step_variants(variant, rng):
-    """FiLM and dB-magnitude model families must train end-to-end too."""
+@pytest.mark.parametrize("backend", ["flax", "packed"])
+def test_train_step_variants(variant, backend, rng):
+    """FiLM and dB-magnitude model families must train end-to-end on the
+    flax AND the packed production backends (the pallas twin shares the
+    packed level specs; its variant losses match packed — verified on
+    hardware)."""
     from timbre_trap_tpu.models import TimbreTrapFiLM, TimbreTrapMagDB
 
     cls = {"film": TimbreTrapFiLM, "magdb": TimbreTrapMagDB}[variant]
     model = cls(sample_rate=8000, n_octaves=5, bins_per_octave=12,
                 secs_per_block=0.5, latent_size=16, model_complexity=1)
     cfg = TrainConfig(multiplier_consistency=1.0)
-    step = jax.jit(make_train_step(model, cfg, mpe_batch_size=1))
+    step = jax.jit(make_train_step(model, cfg, mpe_batch_size=1,
+                                   conv_backend=backend))
     params, opt_state = init_train_state(model, cfg)
     audio, gt = _fake_batch(model, 1, 1, rng)
     losses = []
@@ -301,6 +306,29 @@ def test_compact_upload_step_matches_f32(tiny_model, rng):
     _, _, m_snap = step(params, opt, audio_snap, jnp.asarray(g8, jnp.float32)
                         / 255.0, 1e-3)
     assert float(m_snap["loss/total"]) == float(m_q["loss/total"])
+
+
+def test_compact_helpers_exact_endpoints(rng):
+    """The shared host-side quantizers (Trainer._compose_batch uses them)
+    keep {0,1} GT endpoints exact and audio on the fixed +-8 int16 grid."""
+    from timbre_trap_tpu.train import (TRAIN_AUDIO_SCALE, compact_audio,
+                                       compact_ground_truth)
+
+    audio = np.clip(rng.standard_normal((2, 1, 64)) * 2, -7.9, 7.9
+                    ).astype(np.float32)
+    a16 = compact_audio(audio)
+    assert a16.dtype == np.int16
+    np.testing.assert_allclose(a16.astype(np.float32) / TRAIN_AUDIO_SCALE,
+                               audio, atol=0.5 / TRAIN_AUDIO_SCALE)
+    # out-of-grid audio saturates at the +-8 grid edges (int16 range)
+    assert compact_audio(np.float32([[-100.0]]))[0, 0] == -32768
+    gt = rng.random((2, 6, 8)).astype(np.float32)
+    gt[0, 0, 0], gt[1, 2, 3] = 0.0, 1.0
+    g8 = compact_ground_truth(gt)
+    assert g8.dtype == np.uint8
+    assert g8[0, 0, 0] == 0 and g8[1, 2, 3] == 255
+    np.testing.assert_allclose(g8.astype(np.float32) / 255.0, gt,
+                               atol=0.5 / 255.0)
 
 
 @pytest.mark.parametrize("backend", ["packed", "pallas"])

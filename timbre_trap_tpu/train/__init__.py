@@ -3,6 +3,8 @@ from .checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint, loa
 from .loop import TrainerConfig, Trainer
 from .step import (
     TRAIN_AUDIO_SCALE,
+    compact_audio,
+    compact_ground_truth,
     TrainConfig,
     make_optimizer,
     make_train_step,
@@ -21,6 +23,8 @@ __all__ = [
     "TrainerConfig",
     "Trainer",
     "TRAIN_AUDIO_SCALE",
+    "compact_audio",
+    "compact_ground_truth",
     "TrainConfig",
     "make_optimizer",
     "make_train_step",

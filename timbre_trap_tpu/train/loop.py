@@ -26,8 +26,8 @@ from ..eval.evaluation import evaluate
 from ..parallel import make_mesh, shard_global_batch
 from .checkpoint import save_checkpoint
 from .schedules import PlateauDecay, cosine_warmup
-from .step import (TRAIN_AUDIO_SCALE, TrainConfig, init_train_state,
-                   make_train_step, shard_train_step)
+from .step import (TrainConfig, compact_audio, compact_ground_truth,
+                   init_train_state, make_train_step, shard_train_step)
 
 __all__ = ["TrainerConfig", "Trainer"]
 
@@ -211,9 +211,10 @@ class Trainer:
         batch is quantized for transfer — audio to int16 on a fixed ±8 grid
         (covers summed-stem mixes; q ≈ 2.4e-4) and the [0,1] ground-truth
         raster to uint8 — cutting the reference-recipe upload from 72 MB to
-        23 MB per batch so it hides under the device step; the train step
-        dequantizes on device (train/step.py), keeping the {0,1} endpoints
-        exact for the positive-class weighting.
+        16.4 MB per batch. Uploads serialize with device execution on
+        tunneled runtimes, so the savings shorten step wall time directly;
+        the train step dequantizes on device (train/step.py), keeping the
+        {0,1} endpoints exact for the positive-class weighting.
         """
         audio = np.asarray(data_mpe[constants.KEY_AUDIO], np.float32)
         gt = np.asarray(data_mpe[constants.KEY_GROUND_TRUTH], np.float32)
@@ -222,9 +223,8 @@ class Trainer:
                 [audio, np.asarray(data_audio[constants.KEY_AUDIO],
                                    np.float32)], axis=0)
         if self.config.compact_uploads:
-            audio = np.clip(np.rint(audio * TRAIN_AUDIO_SCALE),
-                            -32768, 32767).astype(np.int16)
-            gt = np.rint(np.clip(gt, 0.0, 1.0) * 255.0).astype(np.uint8)
+            audio = compact_audio(audio)
+            gt = compact_ground_truth(gt)
         return audio, gt
 
     def _transfer(self, batch):

@@ -28,13 +28,38 @@ from ..parallel.mesh import batch_sharded, replicated
 
 __all__ = ["TrainConfig", "TRAIN_AUDIO_SCALE", "make_optimizer",
            "make_train_step", "shard_train_step", "init_train_state",
-           "grad_norm_telemetry"]
+           "grad_norm_telemetry", "compact_audio", "compact_ground_truth"]
 
 # int16 grid for compact trainer audio uploads: range +-8 covers the
 # StemMixingDataset worst case (<= 5 summed infinity-normalized stems,
 # data/base.py:90-131) with quantization 1/4096 ~= 2.4e-4 — far below the
 # audio noise floor; features run under stop_gradient either way.
 TRAIN_AUDIO_SCALE = 4096.0
+
+
+def compact_audio(audio):
+    """Quantize f32 audio to the fixed +-8 int16 upload grid (host side)."""
+    import numpy as np
+
+    return np.clip(np.rint(np.asarray(audio, np.float32) * TRAIN_AUDIO_SCALE),
+                   -32768, 32767).astype(np.int16)
+
+
+def compact_ground_truth(gt):
+    """Quantize a [0,1] GT raster to dense uint8 for upload (host side).
+
+    Dense uint8 is the MEASURED best encoding on the tunneled runtime
+    (uploads run ~100 MB/s and serialize with device execution): a
+    bitmap-sparse form (packbits mask + value stream, 3.3 MB vs 13.6 MB at
+    the reference recipe) lost because its on-device decode needs a
+    raster-length cumsum (138 ms — more than the upload it saves), and COO
+    index/value scatter only breaks even at safe capacities
+    (docs/PERFORMANCE.md "Measured dead ends").
+    """
+    import numpy as np
+
+    return np.rint(np.clip(np.asarray(gt, np.float32), 0.0, 1.0)
+                   * 255.0).astype(np.uint8)
 
 
 @dataclass(frozen=True)
@@ -232,18 +257,19 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
         return total, metrics
 
     def step(params, opt_state, audio, ground_truth, lr):
-        # Compact-upload dequantization (Trainer._compose_batch): training
-        # inputs may arrive as int16 audio on a fixed +-8 grid and uint8
-        # ground truth on a /255 grid — 72 MB -> 23 MB per reference-recipe
-        # batch, which hides the host->device upload under the device step
-        # on tunneled runtimes (~62 MB/s measured). Dequantization restores
-        # exact {0,1} endpoints, so the ==1 positive-class weighting below
-        # is unaffected.
+        # Compact-upload dequantization (Trainer._compose_batch /
+        # compact_audio / compact_ground_truth): training inputs may arrive
+        # as int16 audio on a fixed +-8 grid and uint8 /255 ground truth —
+        # 72 MB -> 16.4 MB per reference-recipe batch. Uploads serialize
+        # with device execution on tunneled runtimes (~100 MB/s measured),
+        # so smaller uploads directly shorten the step wall time.
+        # Dequantization restores exact {0,1} endpoints, so the ==1
+        # positive-class weighting below is unaffected.
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) * (1.0 / TRAIN_AUDIO_SCALE)
+        features = features_from_audio(audio)
         if ground_truth.dtype == jnp.uint8:
             ground_truth = ground_truth.astype(jnp.float32) * (1.0 / 255.0)
-        features = features_from_audio(audio)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, features, ground_truth)
         metrics.update(grad_norm_telemetry(grads))

@@ -89,7 +89,8 @@ def _latent_matmuls(params, net):
     return w_lat, b_lat, w_dec, b_dec
 
 
-def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
+def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None,
+                 tile_t=None):
     if backend == "pallas":
         fn = partial(fused_level_apply, spec=spec, dtype=dtype,
                      interpret=interpret)
@@ -98,8 +99,11 @@ def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
         # (adjoint banded blocks); residuals are just the level input, so no
         # outer jax.checkpoint is needed. ``dtype=bfloat16`` selects the
         # mixed-precision mode (bf16 storage/operands, f32 accumulation).
-        train_fn = make_fused_level_train(spec, interpret=interpret,
-                                          dtype=dtype)
+        # ``tile_t`` overrides the measured training default (512; see
+        # ops/fused_level.default_train_tile_t) e.g. for geometries whose
+        # backward slabs exceed VMEM at wide tiles.
+        train_fn = make_fused_level_train(spec, tile_t=tile_t,
+                                          interpret=interpret, dtype=dtype)
         arrays = (spec.weight_arrays(jnp.float32)
                   + spec.adjoint_arrays(jnp.float32))
         if mesh is not None:
@@ -126,7 +130,7 @@ def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None):
 
 def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
                   precision="default", interpret=False, remat=False,
-                  mesh=None, with_embeddings=False):
+                  mesh=None, with_embeddings=False, tile_t=None):
     """Packed features (B, F*C_in, T) -> latents (B, D, T).
 
     With ``with_embeddings`` (the skip-connection path) returns
@@ -143,7 +147,8 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
     if with_embeddings:
         spec_in = _conv2d_level_spec(enc["convin"], f, act=True,
                                      with_adjoints=adj)
-        x = _apply_level(x, spec_in, backend, dtype, interpret, remat, mesh)
+        x = _apply_level(x, spec_in, backend, dtype, interpret, remat,
+                         mesh, tile_t)
         embeddings.append(x)
     for i in range(4):
         spec = encoder_level_spec(
@@ -151,7 +156,8 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
             convin_params=(enc["convin"]
                            if i == 0 and not with_embeddings else None),
             with_adjoints=adj)
-        x = _apply_level(x, spec, backend, dtype, interpret, remat, mesh)
+        x = _apply_level(x, spec, backend, dtype, interpret, remat,
+                         mesh, tile_t)
         if with_embeddings:
             embeddings.append(x)
         f = sizes[i]
@@ -167,7 +173,7 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
 
 def decode_packed(params, net, latents, transcribe, backend="pallas",
                   dtype=jnp.float32, precision="default", interpret=False,
-                  remat=False, mesh=None, skips=None):
+                  remat=False, mesh=None, skips=None, tile_t=None):
     """Latents (B, D, T) -> packed coefficients (B, F*C_out, T).
 
     Applies the decoder switch (reference modules.py:119-147 / :780-839)
@@ -208,7 +214,8 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
             convout_params=(dec["convout"]
                             if i == 3 and skips is None else None),
             with_adjoints=adj)
-        y = _apply_level(y, spec, backend, dtype, interpret, remat, mesh)
+        y = _apply_level(y, spec, backend, dtype, interpret, remat,
+                         mesh, tile_t)
         f = spec.items[0][1].f_out
         if skips is not None:
             y = (y.astype(jnp.float32) + skips[3 - i].astype(jnp.float32)
@@ -216,7 +223,8 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
     if skips is not None:
         spec_out = _conv2d_level_spec(dec["convout"], f, act=False,
                                       with_adjoints=adj)
-        y = _apply_level(y, spec_out, backend, dtype, interpret, remat, mesh)
+        y = _apply_level(y, spec_out, backend, dtype, interpret, remat,
+                         mesh, tile_t)
 
     y = y.astype(jnp.float32)
     if net.variant == "mag":
@@ -260,7 +268,7 @@ def _scale_skips(params, embeddings):
 
 def packed_train_forward(params, net, features, consistency, backend="xla",
                          remat=True, interpret=False, mesh=None,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, tile_t=None):
     """Training-mode forward on packed tensors.
 
     Returns (reconstruction, latents, transcription, transcription_rec,
@@ -269,10 +277,12 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
     in the padding-free layout. ``remat`` checkpoints each level so only
     packed level inputs are saved for the backward pass. ``dtype=bfloat16``
     (pallas_train backend) stores level activations bf16 with f32
-    accumulation — the mixed-precision training mode.
+    accumulation — the mixed-precision training mode. ``tile_t`` overrides
+    the training kernels' time-tile width (default 512, measured-fastest
+    at the reference recipe).
     """
     kw = dict(backend=backend, dtype=dtype, precision="default",
-              interpret=interpret, remat=remat, mesh=mesh)
+              interpret=interpret, remat=remat, mesh=mesh, tile_t=tile_t)
     skip = net.skip_connections
     x = pack_nhwc(features)
 

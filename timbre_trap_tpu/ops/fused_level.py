@@ -33,7 +33,8 @@ from .packed_conv import (BLOCK_ROWS, ConvBlocks, build_conv2d_blocks,
 
 __all__ = ["LevelSpec", "encoder_level_spec", "decoder_level_spec",
            "fused_level_apply", "packed_level_apply_xla",
-           "make_fused_level_train"]
+           "make_fused_level_train", "default_tile_t",
+           "default_train_tile_t"]
 
 
 def packed_level_apply_xla(x, spec):
@@ -66,10 +67,21 @@ HALO = 64
 
 
 def default_tile_t(dtype):
-    """Measured-fastest tiles on v5e (bf16 swept 384/512/640 on the full
-    transcribe pipeline: 1016x/1052x/918x RT — 512 wins; f32 is bounded by
-    VMEM at HIGHEST precision)."""
+    """Measured-fastest INFERENCE tiles on v5e (bf16 swept 384/512/640 on
+    the full transcribe pipeline: 1016x/1052x/918x RT — 512 wins; f32 is
+    bounded by VMEM at HIGHEST precision)."""
     return 512 if jnp.dtype(dtype) == jnp.bfloat16 else 128
+
+
+def default_train_tile_t(dtype):
+    """Measured-fastest TRAINING tiles on v5e (reference recipe, batch 8 x
+    9-s crops, r3 sweep). The training kernels run default-precision
+    matmuls, so — unlike HIGHEST-precision f32 inference — wide f32 tiles
+    fit VMEM: f32 128/256/384/512 -> 766/617/574/551 ms/step; bf16
+    256/384/512/640 -> 568/520/506/506 ms/step. 640 (f32) and 768 (both)
+    exhaust backward-kernel VMEM at flagship geometry (compile failure)."""
+    del dtype  # 512 wins for both f32 and bf16 storage
+    return 512
 
 
 def _cdiv(a, b):
@@ -690,7 +702,7 @@ def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
     geom = spec.geom()
     adj_geom = spec.adjoint_geom()
     n_conv = _n_convs(geom)
-    tt = tile_t or default_tile_t(dtype)
+    tt = tile_t or default_train_tile_t(dtype)
     cast = (lambda w: w.astype(dtype)) if jnp.dtype(dtype) != jnp.float32 \
         else (lambda w: w)
 

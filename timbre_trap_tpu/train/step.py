@@ -149,7 +149,8 @@ def _transcription_loss(estimate, target, weighted):
 
 
 def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
-                    conv_backend="flax", mesh=None, interpret=False):
+                    conv_backend="flax", mesh=None, interpret=False,
+                    tile_t=None):
     """Build the pure train step for a model instance.
 
     step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
@@ -171,7 +172,9 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     path composes with data parallelism — pass the same mesh to
     :func:`shard_train_step`. The XLA backends partition under sharded jit
     without it. ``interpret`` runs the Pallas kernels in interpret mode
-    (CPU tests).
+    (CPU tests). ``tile_t`` overrides the training kernels' time-tile
+    width (default 512 — ops/fused_level.default_train_tile_t; pass a
+    narrower tile if a custom geometry exhausts backward-kernel VMEM).
     """
     net = model.net
     features_from_audio = model.features_from_audio
@@ -196,7 +199,8 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
             mesh=mesh if pallas else None,
             interpret=interpret,
             dtype=(jnp.bfloat16 if conv_backend == "pallas_bf16"
-                   else jnp.float32))
+                   else jnp.float32),
+            tile_t=tile_t)
         target = pack_nhwc(features)
         activations = model.to_activations(
             packed_to_nchw(trn, net.feature_size, net.in_channels))

@@ -42,12 +42,16 @@ def parse_args():
     p.add_argument("--n-epochs-early-stop", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel over the first N devices")
-    p.add_argument("--conv-backend", default="pallas",
-                   choices=["pallas", "pallas_bf16", "packed", "flax"],
-                   help="train-step conv path: 'pallas' (fused kernels with "
-                        "custom-VJP backward, 86 audio-s/s at the reference "
-                        "recipe on one v5e chip), 'packed' (banded XLA), or "
-                        "'flax'")
+    p.add_argument("--conv-backend", default="pallas_bf16",
+                   choices=["pallas_bf16", "pallas", "packed", "flax"],
+                   help="train-step conv path: 'pallas_bf16' (fused kernels "
+                        "with custom-VJP backward, bf16 storage / f32 "
+                        "accumulation — 142 audio-s/s at the reference "
+                        "recipe on one v5e chip; quality matches f32 on the "
+                        "synthetic-polyphony probe, and the reference "
+                        "itself trains under AMP autocast, train.py:415), "
+                        "'pallas' (full-f32 storage, 125 audio-s/s), "
+                        "'packed' (banded XLA), or 'flax'")
     p.add_argument("--skip-connections", action="store_true",
                    help="learnable per-level encoder->decoder skips "
                         "(reference modules.py:61-66); supported on every "

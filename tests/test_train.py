@@ -331,6 +331,32 @@ def test_compact_helpers_exact_endpoints(rng):
                                atol=0.5 / 255.0)
 
 
+def test_skip_connections_bf16_trains(rng):
+    """Mixed-precision + skip connections: the level outputs (bf16) fork
+    into the next level AND the skip-embedding branch, so the custom-VJP
+    dX must come back at the primal input's dtype or jax asserts when
+    accumulating the two cotangents (regression: caught on hardware r3)."""
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1,
+                   skip_connections=True)
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    L, M = m.sliCQ.block_length, m.sliCQ.max_window_length
+    audio = jnp.asarray(rng.standard_normal((1, 1, L)) * 0.1, jnp.float32)
+    gt = jnp.asarray((rng.random((1, m.sliCQ.n_bins, M)) < 0.05), jnp.float32)
+    step = jax.jit(make_train_step(m, cfg, mpe_batch_size=1,
+                                   conv_backend="pallas_bf16",
+                                   interpret=True))
+    p, o = init_train_state(m, cfg)
+    losses = []
+    for _ in range(3):
+        p, o, met = step(p, o, audio, gt, 1e-3)
+        losses.append(float(met["loss/total"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    assert not np.allclose(np.asarray(p["skip_weights"]), 1.0)
+
+
 @pytest.mark.parametrize("backend", ["packed", "pallas"])
 def test_skip_connections_train_backends_match_flax(backend):
     """Skip-connection models train on the packed/pallas backends with the

@@ -74,14 +74,18 @@ def default_tile_t(dtype):
 
 
 def default_train_tile_t(dtype):
-    """Measured-fastest TRAINING tiles on v5e (reference recipe, batch 8 x
-    9-s crops, r3 sweep). The training kernels run default-precision
-    matmuls, so — unlike HIGHEST-precision f32 inference — wide f32 tiles
-    fit VMEM: f32 128/256/384/512 -> 766/617/574/551 ms/step; bf16
-    256/384/512/640 -> 568/520/506/506 ms/step. 640 (f32) and 768 (both)
-    exhaust backward-kernel VMEM at flagship geometry (compile failure)."""
-    del dtype  # 512 wins for both f32 and bf16 storage
-    return 512
+    """Measured-fastest SAFE training tiles on v5e (reference recipe,
+    batch 8 x 9-s crops, r3 sweep). The training kernels run
+    default-precision matmuls, so — unlike HIGHEST-precision f32
+    inference — wide f32 tiles fit VMEM: f32 128/256/384/512 ->
+    766/617/574/551 ms/step; bf16 256/384/512/640 -> 568/520/506/506
+    ms/step. f32 512 is NOT the default despite winning the sweep: its
+    backward kernel sits 0.05% under the 100 MB scoped-VMEM limit at the
+    recipe shapes and goes 48 KB OVER on others (T=1024 single-block
+    crops) — 384 keeps ~25% headroom at 96% of the speed. bf16 halves the
+    slab bytes, so 512 is safe (verified at both shapes); 640 (f32) and
+    768 (both) exhaust backward-kernel VMEM outright."""
+    return 512 if jnp.dtype(dtype) == jnp.bfloat16 else 384
 
 
 def _cdiv(a, b):
@@ -728,9 +732,14 @@ def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
         adjs = [cast(a) for a in res[1 + 2 * n_conv:]]
         dx, dws = _pallas_bwd_call(geom, adj_geom, x, gy, weights, adjs,
                                    dtype, tt, interpret, precision)
+        # dX accumulates f32 in the kernel but must be returned at the
+        # primal input's dtype: in the mixed-precision mode a level OUTPUT
+        # (bf16) can have several cotangent contributions — the next
+        # level's dX plus a skip-embedding branch — and jax asserts when
+        # accumulating cotangents of mismatched dtypes.
         dadj = tuple(jnp.zeros_like(a, jnp.float32)
                      for a in res[1 + 2 * n_conv:])
-        return (dx,) + tuple(dws) + dadj
+        return (dx.astype(x.dtype),) + tuple(dws) + dadj
 
     f.defvjp(f_fwd, f_bwd)
     return f

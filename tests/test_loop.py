@@ -149,6 +149,36 @@ def test_trainer_dual_loader(model, corpus, tmp_path):
     assert trainer.mpe_batch_size == 2
 
 
+def test_trainer_data_parallel(model, corpus, tmp_path):
+    """Trainer with n_devices drives the sharded step end-to-end: mesh
+    batch sharding (shard_global_batch in _transfer), dense-uint8 compact
+    uploads under the mesh, and checkpointing of replicated params. The
+    final params must match the single-device trainer bit-for-bit tolerance
+    (loss is batch-mean, gradient psum exact — reference DataParallel
+    semantics, train.py:166-168)."""
+    import jax
+
+    def run(n_devices, root):
+        train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
+                           cqt=model.sliCQ, n_secs=None, seed=0)
+        loader = DataLoader(train_set, batch_size=4, shuffle=False,
+                            drop_last=True)
+        config = TrainerConfig(max_epochs=2, checkpoint_interval=10 ** 9,
+                               batch_size=4, n_secs=None, learning_rate=1e-3,
+                               n_epochs_warmup=1, n_devices=n_devices,
+                               root_dir=str(tmp_path / root))
+        trainer = Trainer(model, loader, None, [], config)
+        trainer.run()
+        return trainer
+
+    t1 = run(None, "dp_single")
+    t8 = run(4, "dp_mesh")
+    assert t8.batch_count == t1.batch_count == 2
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_trainer_late_start(model, corpus, tmp_path):
     train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
                        cqt=model.sliCQ, n_secs=0.5, seed=0)

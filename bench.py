@@ -95,33 +95,14 @@ def main():
     train_step_ms = None
     train_audio_s_per_s = None
     if os.environ.get("TT_TPU_BENCH_TRAIN", "1") != "0":
-        from timbre_trap_tpu.train import (TrainConfig, init_train_state,
-                                           make_train_step)
+        from timbre_trap_tpu.train.measure import reference_recipe_step_time
 
         for attempt in range(3):
             try:
-                cfg = TrainConfig(multiplier_consistency=1.0)
-                B, blocks = 8, 3
-                L = model.sliCQ.block_length * blocks
-                M = model.sliCQ.get_expected_frames(L)
-                tr_audio = jax.device_put(jnp.asarray(
-                    rng.standard_normal((B, 1, L)) * 0.1, jnp.float32))
-                tr_gt = jax.device_put(jnp.asarray(
-                    (rng.uniform(size=(B, model.sliCQ.n_bins, M)) > 0.97),
-                    jnp.float32))
-                step = jax.jit(make_train_step(model, cfg, mpe_batch_size=B,
-                                               conv_backend="pallas_bf16"))
-                params, opt = init_train_state(model, cfg)
-
-                def one_step():
-                    nonlocal params, opt
-                    params, opt, met = step(params, opt, tr_audio, tr_gt,
-                                            1e-3)
-                    float(met["loss/total"])
-
-                elapsed_tr = _time(one_step)
+                elapsed_tr, _ = reference_recipe_step_time(
+                    model, "pallas_bf16")
                 train_step_ms = round(elapsed_tr * 1e3, 1)
-                train_audio_s_per_s = round(B * blocks * 3 / elapsed_tr, 1)
+                train_audio_s_per_s = round(8 * 3 * 3 / elapsed_tr, 1)
                 break
             except Exception as exc:  # noqa: BLE001 - report, don't die
                 print(f"# train bench attempt {attempt + 1} failed: {exc}",

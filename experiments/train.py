@@ -154,6 +154,10 @@ def main():
             raise SystemExit(f"unknown --audio-datasets entry: {name!r}")
 
     if audio_train:
+        if args.batch_size < 2:
+            raise SystemExit("--audio-datasets splits the batch half MPE / "
+                             "half audio-only (reference train.py:261-270); "
+                             "--batch-size must be >= 2")
         audio_batch_size = args.batch_size // 2
         audio_workers = args.n_workers // 2
     else:

@@ -148,6 +148,19 @@ def test_trainer_dual_loader(model, corpus, tmp_path):
     # the jitted step was built for the 2-row MPE slice of the 4-row batch
     assert trainer.mpe_batch_size == 2
 
+    # UNEQUAL loaders: the epoch truncates to the shorter one (reference
+    # zip() semantics, train.py:388) — never an MPE-only half batch whose
+    # shape change would retrace the step and desync resume math.
+    short_audio = DataLoader(audio_set, batch_size=4, drop_last=True)  # 1
+    config2 = TrainerConfig(max_epochs=2, checkpoint_interval=1000,
+                            batch_size=4, n_secs=0.5,
+                            root_dir=str(tmp_path / "run_dual2"))
+    trainer2 = Trainer(model, mpe_loader, short_audio, [], config2)
+    assert trainer2.epoch_steps == 1
+    trainer2.run()
+    assert trainer2.batch_count == 2  # 2 epochs x 1 truncated step
+    assert len(trainer2._steps) == 1  # single batch signature -> one jit
+
 
 def test_trainer_data_parallel(model, corpus, tmp_path):
     """Trainer with n_devices drives the sharded step end-to-end: mesh

@@ -284,11 +284,14 @@ def test_pallas_bf16_train_step(tiny_model, rng):
 def test_compact_upload_step_matches_f32(tiny_model, rng):
     """int16/uint8 quantized batch uploads (Trainer compact_uploads)
     dequantize on device to the same step result as f32 inputs within
-    quantization tolerance, with exact {0,1} ground-truth endpoints."""
+    quantization tolerance, with exact {0,1} ground-truth endpoints.
+    Without ``compact_audio_grid`` the step keeps the library-wide int16
+    contract (PCM16, /32768 — models/timbre_trap.py:114)."""
     from timbre_trap_tpu.train import TRAIN_AUDIO_SCALE
 
     cfg = TrainConfig(multiplier_consistency=1.0)
-    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2))
+    step = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2,
+                                   compact_audio_grid=True))
     params, opt = init_train_state(tiny_model, cfg)
     audio, gt = _fake_batch(tiny_model, 2, 2, rng)
 
@@ -306,6 +309,17 @@ def test_compact_upload_step_matches_f32(tiny_model, rng):
     _, _, m_snap = step(params, opt, audio_snap, jnp.asarray(g8, jnp.float32)
                         / 255.0, 1e-3)
     assert float(m_snap["loss/total"]) == float(m_q["loss/total"])
+
+    # default (library contract): int16 means PCM16 — same step math as
+    # feeding the /32768-dequantized f32 audio
+    step_pcm = jax.jit(make_train_step(tiny_model, cfg, mpe_batch_size=2))
+    pcm = (np.asarray(audio) * 32768 / 8).astype(np.int16)  # in-range PCM
+    _, _, m_pcm = step_pcm(params, opt, jnp.asarray(pcm),
+                           jnp.asarray(g8), 1e-3)
+    _, _, m_ref = step_pcm(params, opt,
+                           jnp.asarray(pcm, jnp.float32) / 32768.0,
+                           jnp.asarray(g8), 1e-3)
+    assert float(m_pcm["loss/total"]) == float(m_ref["loss/total"])
 
 
 def test_compact_helpers_exact_endpoints(rng):

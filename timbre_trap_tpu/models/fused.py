@@ -99,9 +99,9 @@ def _apply_level(x, spec, backend, dtype, interpret, remat, mesh=None,
         # (adjoint banded blocks); residuals are just the level input, so no
         # outer jax.checkpoint is needed. ``dtype=bfloat16`` selects the
         # mixed-precision mode (bf16 storage/operands, f32 accumulation).
-        # ``tile_t`` overrides the measured training default (512; see
-        # ops/fused_level.default_train_tile_t) e.g. for geometries whose
-        # backward slabs exceed VMEM at wide tiles.
+        # ``tile_t`` overrides the measured training defaults (512 bf16 /
+        # 384 f32; see ops/fused_level.default_train_tile_t) e.g. for
+        # geometries whose backward slabs exceed VMEM at wide tiles.
         train_fn = make_fused_level_train(spec, tile_t=tile_t,
                                           interpret=interpret, dtype=dtype)
         arrays = (spec.weight_arrays(jnp.float32)
@@ -278,8 +278,8 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
     packed level inputs are saved for the backward pass. ``dtype=bfloat16``
     (pallas_train backend) stores level activations bf16 with f32
     accumulation — the mixed-precision training mode. ``tile_t`` overrides
-    the training kernels' time-tile width (default 512, measured-fastest
-    at the reference recipe).
+    the training kernels' time-tile width (defaults 512 bf16 / 384 f32,
+    measured at the reference recipe).
     """
     kw = dict(backend=backend, dtype=dtype, precision="default",
               interpret=interpret, remat=remat, mesh=mesh, tile_t=tile_t)

@@ -147,7 +147,8 @@ class Trainer:
             # data axis (per-device Pallas grids, replicated weights) —
             # 8-device parity tested in tests/test_train.py.
             step = make_train_step(self.model, cfg, self.mpe_batch_size,
-                                   conv_backend=backend, mesh=self.mesh)
+                                   conv_backend=backend, mesh=self.mesh,
+                                   compact_audio_grid=True)
             if self.mesh is not None:
                 self._steps[key] = shard_train_step(step, self.mesh)
             else:
@@ -245,10 +246,21 @@ class Trainer:
         return jax.device_put(audio), jax.device_put(gt)
 
     def _epoch_batches(self, epoch, start_epoch, skip_batches):
-        """Composed host batches for one epoch (resume-aware skipping)."""
+        """Composed host batches for one epoch (resume-aware skipping).
+
+        With a dual loader the epoch truncates to the SHORTER loader
+        (reference ``zip(loader, audio_loader)``, train.py:388) — never
+        emit an MPE-only batch mid-epoch, which would silently change the
+        batch shape (jit retrace, mesh-divisibility failures) and desync
+        ``batch_count`` from ``epoch_steps``'s resume/warmup math.
+        """
         audio_iter = iter(self.audio_loader) if self.audio_loader else None
         for i, data_mpe in enumerate(self.mpe_loader):
+            if i >= self.epoch_steps:
+                break
             data_audio = next(audio_iter, None) if audio_iter else None
+            if audio_iter is not None and data_audio is None:
+                break  # audio loader exhausted early (shorter than advertised)
             if epoch == start_epoch and i < skip_batches:
                 continue
             yield self._compose_batch(data_mpe, data_audio)

@@ -150,7 +150,7 @@ def _transcription_loss(estimate, target, weighted):
 
 def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
                     conv_backend="flax", mesh=None, interpret=False,
-                    tile_t=None):
+                    tile_t=None, compact_audio_grid=False):
     """Build the pure train step for a model instance.
 
     step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
@@ -173,8 +173,16 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     :func:`shard_train_step`. The XLA backends partition under sharded jit
     without it. ``interpret`` runs the Pallas kernels in interpret mode
     (CPU tests). ``tile_t`` overrides the training kernels' time-tile
-    width (default 512 — ops/fused_level.default_train_tile_t; pass a
-    narrower tile if a custom geometry exhausts backward-kernel VMEM).
+    width (defaults: 512 bf16 / 384 f32 —
+    ops/fused_level.default_train_tile_t; pass a narrower tile if a custom
+    geometry exhausts backward-kernel VMEM).
+
+    ``compact_audio_grid``: how int16 audio is dequantized. False (the
+    library-wide contract, models/timbre_trap.py:114-116) treats int16 as
+    PCM16 (/32768). The Trainer builds its step with True so int16 means
+    the compact-upload ±8 grid (/TRAIN_AUDIO_SCALE, compact_audio) —
+    PCM16's ±1 range cannot represent summed-stem mixes. uint8 ground
+    truth is unambiguous (/255) either way.
     """
     net = model.net
     features_from_audio = model.features_from_audio
@@ -263,13 +271,15 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
     def step(params, opt_state, audio, ground_truth, lr):
         # Compact-upload dequantization (Trainer._compose_batch /
         # compact_audio / compact_ground_truth): training inputs may arrive
-        # as int16 audio on a fixed +-8 grid and uint8 /255 ground truth —
-        # 72 MB -> 16.4 MB per reference-recipe batch. Uploads serialize
-        # with device execution on tunneled runtimes (~100 MB/s measured),
-        # so smaller uploads directly shorten the step wall time.
-        # Dequantization restores exact {0,1} endpoints, so the ==1
-        # positive-class weighting below is unaffected.
-        if audio.dtype == jnp.int16:
+        # as int16 audio (the ±8 compact grid when the step was built with
+        # compact_audio_grid, else PCM16 — handled by features_from_audio)
+        # and uint8 /255 ground truth — 72 MB -> 16.4 MB per
+        # reference-recipe batch. Uploads serialize with device execution
+        # on tunneled runtimes (~100 MB/s measured), so smaller uploads
+        # directly shorten the step wall time. Dequantization restores
+        # exact {0,1} endpoints, so the ==1 positive-class weighting below
+        # is unaffected.
+        if compact_audio_grid and audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) * (1.0 / TRAIN_AUDIO_SCALE)
         features = features_from_audio(audio)
         if ground_truth.dtype == jnp.uint8:

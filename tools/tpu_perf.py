@@ -161,11 +161,7 @@ def cmd_phases(_):
 
 
 def cmd_train(args):
-    import jax
-    import jax.numpy as jnp
-
-    from timbre_trap_tpu.train import (TrainConfig, init_train_state,
-                                       make_train_step)
+    from timbre_trap_tpu.train.measure import reference_recipe_step_time
     from timbre_trap_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
@@ -177,30 +173,13 @@ def cmd_train(args):
                        skip_connections=True)
     else:
         m = _flagship()
-    cfg = TrainConfig(multiplier_consistency=1.0)
-    B, blocks = 8, 3  # reference recipe: batch 8 x 9-s crops
-    L = m.sliCQ.block_length * blocks
-    M = m.sliCQ.get_expected_frames(L)
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((B, 1, L)) * 0.1, jnp.float32)
-    gt = jnp.asarray((rng.uniform(size=(B, m.sliCQ.n_bins, M)) > 0.97),
-                     jnp.float32)
     for backend in args.backends.split(","):
-        step = jax.jit(make_train_step(m, cfg, mpe_batch_size=B,
-                                       conv_backend=backend))
-        params, opt = init_train_state(m, cfg)
         t0 = time.time()
-        params, opt, met = step(params, opt, audio, gt, 1e-3)
-        loss = float(met["loss/total"])
-        log(f"{backend}: compile+first {time.time()-t0:.0f}s loss={loss:.2f}")
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            params, opt, met = step(params, opt, audio, gt, 1e-3)
-            float(met["loss/total"])
-            ts.append(time.perf_counter() - t0)
-        log(f"{backend}: step {min(ts)*1000:.0f} ms "
-            f"({B*blocks*3/min(ts):.1f} audio-s/s)")
+        best, loss = reference_recipe_step_time(m, backend)
+        log(f"{backend}: compile+first {time.time()-t0-3*best:.0f}s "
+            f"loss={loss:.2f}")
+        log(f"{backend}: step {best*1000:.0f} ms "
+            f"({8*3*3/best:.1f} audio-s/s)")
 
 
 def cmd_pipeline(args):

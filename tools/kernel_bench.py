@@ -20,6 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from timbre_trap_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 
 def bench_op(fn, args, iters=100, reps=3):
     """Per-iteration seconds for ``fn(*args)`` amortized inside a scan.
@@ -29,6 +33,13 @@ def bench_op(fn, args, iters=100, reps=3):
     out of the scan entirely, which silently turns this harness into a
     dispatch-floor measurement (round-1 numbers had this flaw: per-conv
     costs looked flat across a 16x FLOP range because only one conv ran).
+
+    The carry must also consume EVERY output element through a reduction
+    XLA cannot push through the op: feeding ``ravel(out)[0]`` back lets the
+    algebraic simplifier rewrite slice(dot) -> dot(slice) and compute one
+    output ROW instead of the whole product (measured: a 2048^3 and a
+    128x384x640 dot both "cost" ~160us that way — pure dispatch floor).
+    ``max`` has no such decomposition over the contracted dimension.
     """
 
     @jax.jit
@@ -36,7 +47,7 @@ def bench_op(fn, args, iters=100, reps=3):
         def body(carry, _):
             first = args[0] + carry.astype(args[0].dtype)
             out = fn(first, *args[1:])
-            s = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32)
+            s = jnp.max(jnp.real(out)).astype(jnp.float32)
             return s * 1e-30, None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
@@ -90,5 +101,61 @@ def conv_layout_study():
         print(f"{f'({C},{F})':>14} {ta * 1e6:>10.0f}us {tb * 1e6:>10.0f}us")
 
 
+def int8_matmul_study():
+    """Measure whether int8 MXU throughput would speed the fused levels.
+
+    docs/ROADMAP.md r4 item 3: "further wins need a faster fused level
+    (e.g. int8 activations) — measure before building". The fused level
+    kernels' hot op is the repeating banded-block matmul
+    ``dot_general((128, K), (K, W))`` (ops/fused_level.py:_conv_stage) with
+    K = 128 + 2*margin rows and W = tile_t + 2*64 columns; a whole level is
+    ~16 such output blocks x ~7 convs x 3 time taps. v5e's MXU peaks at
+    2x bf16 throughput for int8 operands with int32 accumulation — IF the
+    dot is MXU-bound at these shapes rather than bound by operand staging.
+
+    This study times the block shape, a 16-block aggregate (same weight
+    block against 16 tiles' worth of columns — what a level amortizes to),
+    and a large square control, each as f32-HIGHEST (the inference
+    reconstruction mode), bf16-default (the transcribe/training mode), and
+    int8->int32. The int8:bf16 ratio at the AGGREGATE shape is the decision
+    number for an int8 fused level.
+    """
+    rng = np.random.default_rng(0)
+
+    def dot(a, b):
+        acc = jnp.int32 if a.dtype == jnp.int8 else jnp.float32
+        prec = "highest" if a.dtype == jnp.float32 else "default"
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=prec,
+                                   preferred_element_type=acc)
+
+    shapes = [
+        ("block (128,384)x(384,640)", 128, 384, 640),
+        ("level-agg (128,384)x(384,10240)", 128, 384, 10240),
+        ("control (2048,2048)x(2048,2048)", 2048, 2048, 2048),
+    ]
+    print(f"{'shape':>34} {'f32-hi':>10} {'bf16':>10} {'int8':>10} "
+          f"{'int8:bf16':>10}")
+    for name, m, k, n in shapes:
+        a_f = rng.standard_normal((m, k)).astype(np.float32)
+        b_f = rng.standard_normal((k, n)).astype(np.float32)
+        rows = {}
+        for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+            if dt == jnp.int8:
+                a = jnp.asarray(np.clip(a_f * 32, -127, 127), jnp.int8)
+                b = jnp.asarray(np.clip(b_f * 32, -127, 127), jnp.int8)
+            else:
+                a, b = jnp.asarray(a_f, dt), jnp.asarray(b_f, dt)
+            rows[dt.__name__] = bench_op(dot, (a, b), iters=200)
+        ratio = rows["int8"] / rows["bfloat16"]
+        print(f"{name:>34} {rows['float32'] * 1e6:>8.1f}us "
+              f"{rows['bfloat16'] * 1e6:>8.1f}us {rows['int8'] * 1e6:>8.1f}us "
+              f"{ratio:>9.2f}x")
+
+
 if __name__ == "__main__":
-    conv_layout_study()
+    study = sys.argv[1] if len(sys.argv) > 1 else "conv"
+    if study == "int8":
+        int8_matmul_study()
+    else:
+        conv_layout_study()

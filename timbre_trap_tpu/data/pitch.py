@@ -62,7 +62,9 @@ class PitchDataset(BaseDataset):
             if offset_t is None:
                 pad_left = self.rng.randint(0, pad_total)
             else:
-                pad_left = round(abs(offset_t) * self.sample_rate / self.cqt.hop_length)
+                # Use the CQT's sample rate: ``self.sample_rate`` only exists
+                # on AudioDataset, so a bare PitchDataset would AttributeError.
+                pad_left = round(abs(offset_t) * self.cqt.sample_rate / self.cqt.hop_length)
             offset_n = -pad_left
             times = np.pad(times, (pad_left, 0), constant_values=-np.inf)
             times = np.pad(times, (0, pad_total - pad_left), constant_values=np.inf)

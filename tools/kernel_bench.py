@@ -8,6 +8,9 @@ any kernel work on this stack (docs/ROADMAP.md).
 
 Usage:
     python tools/kernel_bench.py            # built-in conv layout study
+    python tools/kernel_bench.py conv      # same, explicitly
+    python tools/kernel_bench.py int8      # int8-vs-bf16 MXU matmul study
+Unknown study names are an error (not a silent fall-through to conv).
 """
 
 import os
@@ -21,8 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from timbre_trap_tpu.utils import enable_persistent_compilation_cache
-
-enable_persistent_compilation_cache()
 
 
 def bench_op(fn, args, iters=100, reps=3):
@@ -134,8 +135,11 @@ def int8_matmul_study():
         ("level-agg (128,384)x(384,10240)", 128, 384, 10240),
         ("control (2048,2048)x(2048,2048)", 2048, 2048, 2048),
     ]
+    # "int8 speedup" is THROUGHPUT speedup (bf16_time / int8_time, higher =
+    # int8 faster) — the convention PERFORMANCE.md/ROADMAP.md report
+    # ("~1.25x bf16" at the control shape, "~1.0x" at the aggregate).
     print(f"{'shape':>34} {'f32-hi':>10} {'bf16':>10} {'int8':>10} "
-          f"{'int8:bf16':>10}")
+          f"{'int8 speedup':>13}")
     for name, m, k, n in shapes:
         a_f = rng.standard_normal((m, k)).astype(np.float32)
         b_f = rng.standard_normal((k, n)).astype(np.float32)
@@ -147,15 +151,18 @@ def int8_matmul_study():
             else:
                 a, b = jnp.asarray(a_f, dt), jnp.asarray(b_f, dt)
             rows[dt.__name__] = bench_op(dot, (a, b), iters=200)
-        ratio = rows["int8"] / rows["bfloat16"]
+        speedup = rows["bfloat16"] / rows["int8"]
         print(f"{name:>34} {rows['float32'] * 1e6:>8.1f}us "
               f"{rows['bfloat16'] * 1e6:>8.1f}us {rows['int8'] * 1e6:>8.1f}us "
-              f"{ratio:>9.2f}x")
+              f"{speedup:>12.2f}x")
 
 
 if __name__ == "__main__":
+    enable_persistent_compilation_cache()
     study = sys.argv[1] if len(sys.argv) > 1 else "conv"
     if study == "int8":
         int8_matmul_study()
-    else:
+    elif study == "conv":
         conv_layout_study()
+    else:
+        sys.exit(f"unknown study {study!r}; available: conv, int8")

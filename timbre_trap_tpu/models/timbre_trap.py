@@ -110,7 +110,8 @@ class TimbreTrap:
 
         int16 input is accepted and dequantized on device (PCM16 is the
         native format of WAV/MP3 sources; transferring it halves the
-        host->device bytes on tunneled runtimes)."""
+        host->device bytes on tunneled runtimes); float16 casts to f32 on
+        device (same byte savings with no quantization contract)."""
         audio = jnp.asarray(audio)
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
@@ -340,7 +341,11 @@ class TimbreTrap:
         """
         if not isinstance(audio, jax.Array):
             audio_np = np.asarray(audio)
-            if audio_np.dtype not in (np.int16,):
+            # int16 (PCM16) and float16 inputs upload at half the f32
+            # bytes and dequantize/cast on device (features_from_audio);
+            # the tunnel/host link is the end-to-end bottleneck, so half
+            # the bytes is ~2x the upload-bound throughput.
+            if audio_np.dtype not in (np.int16, np.float16):
                 audio_np = audio_np.astype(np.float32, copy=False)
             L = self.sliCQ.block_length
             hop = L // 2

@@ -41,7 +41,14 @@ def parse_args():
     p.add_argument("--n-epochs-cooldown", type=int, default=100)
     p.add_argument("--n-epochs-early-stop", type=int, default=None)
     p.add_argument("--n-devices", type=int, default=None,
-                   help="data-parallel over the first N devices")
+                   help="data-parallel over the first N devices (on a pod: "
+                        "the GLOBAL device count)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host pods; TPU "
+                        "environments autodetect). Each process then "
+                        "composes only its local rows of the global batch "
+                        "(parallel.plan_local_rows) — host input cost stays "
+                        "O(1/n_processes)")
     p.add_argument("--conv-backend", default="pallas_bf16",
                    choices=["pallas_bf16", "pallas", "packed", "flax"],
                    help="train-step conv path: 'pallas_bf16' (fused kernels "
@@ -88,6 +95,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.distributed:
+        from timbre_trap_tpu.parallel import initialize
+
+        initialize()
     seed_everything(args.seed)
 
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,

@@ -208,17 +208,23 @@ def test_trainer_late_start(model, corpus, tmp_path):
 def test_trainer_resume_is_exact(model, corpus, tmp_path):
     """A run resumed from a mid-epoch checkpoint bit-matches the
     uninterrupted run: params, plateau state, best tracking (VERDICT r2
-    item 6 — the reference restarts decay logic on resume, train.py:153)."""
+    item 6 — the reference restarts decay logic on resume, train.py:153).
+
+    shuffle=True and a restore into epoch 1 also cover the epoch-boundary
+    case (VERDICT r3 weak #7): the Trainer keys each epoch's shuffle by
+    (seed, epoch) via DataLoader.set_epoch, so the resumed run reshuffles
+    epoch 1 exactly as the uninterrupted run did — a process-lifetime
+    loader RNG would hand the resumed run epoch 0's order instead."""
     import jax
 
     def make_trainer(root):
-        # Deterministic stream: full-length clips (no crop RNG), no shuffle.
+        # Full-length clips (no crop RNG); order comes from the shuffle.
         train_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
                            cqt=model.sliCQ, n_secs=None, seed=0)
         val_set = ToyMPE(base_dir=corpus, splits=["all"], sample_rate=SR,
                          cqt=model.sliCQ, n_secs=None, seed=0)
-        loader = DataLoader(train_set, batch_size=2, shuffle=False,
-                            drop_last=True)
+        loader = DataLoader(train_set, batch_size=2, shuffle=True,
+                            drop_last=True, seed=7)
         config = TrainerConfig(max_epochs=2, checkpoint_interval=1,
                                batch_size=2, n_secs=None, learning_rate=1e-3,
                                n_epochs_warmup=1,

@@ -20,11 +20,28 @@ __all__ = ["DataLoader", "device_prefetch"]
 
 
 class DataLoader:
-    """Iterate a dataset in collated batches with optional worker threads."""
+    """Iterate a dataset in collated batches with optional worker threads.
+
+    ``set_epoch(k)`` re-keys the shuffle RNG per epoch (``seed`` + epoch),
+    making the order a pure function of (seed, epoch): a resumed run then
+    reshuffles epoch k exactly as the uninterrupted run did — the
+    process-lifetime RNG stream cannot provide that across a restart. The
+    Trainer calls it at every epoch start.
+
+    ``batch_rows`` (multi-host input sharding): positions within each batch
+    this process should materialize. All processes draw the same shuffled
+    order (same seed/epoch), but ``dataset[i]`` is only called for this
+    process's rows of each batch — host-side decode/rasterize cost stays
+    O(1/n_processes) on a pod instead of every host composing the full
+    global batch (see parallel.plan_local_rows / Trainer._compose_batch).
+    Requires ``drop_last`` (a short final batch has no well-defined row
+    split). An empty list yields ``{}`` sentinels: the batch exists for
+    epoch accounting but carries no local rows.
+    """
 
     def __init__(self, dataset, batch_size, shuffle=False, num_workers=0,
                  drop_last=False, collate_fn=default_collate, seed=0,
-                 prefetch_batches=2):
+                 prefetch_batches=2, batch_rows=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,7 +49,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch_batches = max(1, prefetch_batches)
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self.batch_rows = batch_rows
+        self._epoch = None
+
+    def set_epoch(self, epoch):
+        """Key the shuffle order by (seed, epoch) instead of the lifetime RNG."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -43,15 +67,31 @@ class DataLoader:
     def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            if self._epoch is None:
+                self.rng.shuffle(order)
+            else:
+                np.random.RandomState(
+                    (self.seed + 0x9E3779B1 * (self._epoch + 1))
+                    % (2 ** 32)).shuffle(order)
         n_batches = len(self)
         for b in range(n_batches):
-            yield order[b * self.batch_size:(b + 1) * self.batch_size]
+            idcs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.batch_rows is not None:
+                if len(idcs) < self.batch_size:
+                    raise ValueError(
+                        "batch_rows requires drop_last=True batches")
+                idcs = idcs[np.asarray(self.batch_rows, np.int64)]
+            yield idcs
+
+    def _collate(self, items):
+        if self.batch_rows is not None and len(self.batch_rows) == 0:
+            return {}  # no local rows: sentinel keeps epoch accounting
+        return self.collate_fn(items)
 
     def __iter__(self):
         if self.num_workers <= 0:
             for idcs in self._batches():
-                yield self.collate_fn([self.dataset[i] for i in idcs])
+                yield self._collate([self.dataset[i] for i in idcs])
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -72,7 +112,7 @@ class DataLoader:
             while pending:
                 futures = pending.pop(0)
                 submit_next()
-                yield self.collate_fn([f.result() for f in futures])
+                yield self._collate([f.result() for f in futures])
 
 
 def device_prefetch(iterator, transfer=None, depth=2):

@@ -27,8 +27,9 @@ import optax
 from ..parallel.mesh import batch_sharded, replicated
 
 __all__ = ["TrainConfig", "TRAIN_AUDIO_SCALE", "make_optimizer",
-           "make_train_step", "shard_train_step", "init_train_state",
-           "grad_norm_telemetry", "compact_audio", "compact_ground_truth"]
+           "make_loss_fn", "make_train_step", "shard_train_step",
+           "init_train_state", "grad_norm_telemetry", "compact_audio",
+           "compact_ground_truth"]
 
 # int16 grid for compact trainer audio uploads: range +-8 covers the
 # StemMixingDataset worst case (<= 5 summed infinity-normalized stems,
@@ -148,52 +149,23 @@ def _transcription_loss(estimate, target, weighted):
     return jnp.mean(jnp.sum(loss, axis=-2))
 
 
-def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
-                    conv_backend="flax", mesh=None, interpret=False,
-                    tile_t=None, compact_audio_grid=False):
-    """Build the pure train step for a model instance.
+def make_loss_fn(model, config: TrainConfig, mpe_batch_size: int,
+                 conv_backend="flax", mesh=None, interpret=False,
+                 tile_t=None):
+    """Build the pure loss function used by :func:`make_train_step`.
 
-    step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
-    metrics). ``audio`` is (B, 1, N) with the first ``mpe_batch_size``
-    samples annotated; ``ground_truth`` is (mpe_batch_size, F, T_frames).
-
-    ``conv_backend``: "flax" applies the flax modules (NHWC convs with NCHW
-    remat boundaries when ``model`` was built with remat); "packed" runs the
-    forward in the packed f-major banded form (models/fused.py) with
-    per-level checkpointing — no lane-padded conv transients, which is what
-    fits the reference training recipe (batch 8 x 9-s crops,
-    train.py:39-101) in single-chip HBM; "pallas" additionally executes
-    each level as the fused Pallas kernels with a custom-VJP Pallas
-    backward (adjoint banded blocks); "pallas_bf16" is the mixed-precision
-    variant (bf16 level storage/operands, f32 accumulation everywhere).
-
-    ``mesh`` (pallas backend only): run each fused level under
-    ``jax.shard_map`` over the mesh's leading axis so the production kernel
-    path composes with data parallelism — pass the same mesh to
-    :func:`shard_train_step`. The XLA backends partition under sharded jit
-    without it. ``interpret`` runs the Pallas kernels in interpret mode
-    (CPU tests). ``tile_t`` overrides the training kernels' time-tile
-    width (defaults: 512 bf16 / 384 f32 —
-    ops/fused_level.default_train_tile_t; pass a narrower tile if a custom
-    geometry exhausts backward-kernel VMEM).
-
-    ``compact_audio_grid``: how int16 audio is dequantized. False (the
-    library-wide contract, models/timbre_trap.py:114-116) treats int16 as
-    PCM16 (/32768). The Trainer builds its step with True so int16 means
-    the compact-upload ±8 grid (/TRAIN_AUDIO_SCALE, compact_audio) —
-    PCM16's ±1 range cannot represent summed-stem mixes. uint8 ground
-    truth is unambiguous (/255) either way.
-    """
+    ``loss_fn(params, features, ground_truth) -> (total, metrics)``.
+    Exposed separately so measurement tools can time the forward /
+    backward / optimizer phases of the step independently
+    (tools/tpu_perf.py trainstep)."""
     net = model.net
-    features_from_audio = model.features_from_audio
-    to_activations_nhwc = model.to_activations_nhwc
     consistency = bool(config.multiplier_consistency)
     packed = conv_backend in ("packed", "pallas", "pallas_bf16")
     # Under remat, coefficients flow through the loss in NCHW — the saved
     # residuals then have padding-free layouts (see models.modules).
     nchw = bool(getattr(net, "remat", False)) and not packed
     recon_loss = _recon_loss_nchw if nchw else _recon_loss_nhwc
-    tx = make_optimizer(config)
+    to_activations_nhwc = model.to_activations_nhwc
 
     def packed_loss_fn(params, features, ground_truth):
         from ..models.fused import packed_to_nchw, packed_train_forward
@@ -267,6 +239,51 @@ def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
             total = total + val
         metrics["loss/total"] = total
         return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, config: TrainConfig, mpe_batch_size: int,
+                    conv_backend="flax", mesh=None, interpret=False,
+                    tile_t=None, compact_audio_grid=False):
+    """Build the pure train step for a model instance.
+
+    step(params, opt_state, audio, ground_truth, lr) -> (params, opt_state,
+    metrics). ``audio`` is (B, 1, N) with the first ``mpe_batch_size``
+    samples annotated; ``ground_truth`` is (mpe_batch_size, F, T_frames).
+
+    ``conv_backend``: "flax" applies the flax modules (NHWC convs with NCHW
+    remat boundaries when ``model`` was built with remat); "packed" runs the
+    forward in the packed f-major banded form (models/fused.py) with
+    per-level checkpointing — no lane-padded conv transients, which is what
+    fits the reference training recipe (batch 8 x 9-s crops,
+    train.py:39-101) in single-chip HBM; "pallas" additionally executes
+    each level as the fused Pallas kernels with a custom-VJP Pallas
+    backward (adjoint banded blocks); "pallas_bf16" is the mixed-precision
+    variant (bf16 level storage/operands, f32 accumulation everywhere).
+
+    ``mesh`` (pallas backend only): run each fused level under
+    ``jax.shard_map`` over the mesh's leading axis so the production kernel
+    path composes with data parallelism — pass the same mesh to
+    :func:`shard_train_step`. The XLA backends partition under sharded jit
+    without it. ``interpret`` runs the Pallas kernels in interpret mode
+    (CPU tests). ``tile_t`` overrides the training kernels' time-tile
+    width (defaults: 512 bf16 / 384 f32 —
+    ops/fused_level.default_train_tile_t; pass a narrower tile if a custom
+    geometry exhausts backward-kernel VMEM).
+
+    ``compact_audio_grid``: how int16 audio is dequantized. False (the
+    library-wide contract, models/timbre_trap.py:114-116) treats int16 as
+    PCM16 (/32768). The Trainer builds its step with True so int16 means
+    the compact-upload ±8 grid (/TRAIN_AUDIO_SCALE, compact_audio) —
+    PCM16's ±1 range cannot represent summed-stem mixes. uint8 ground
+    truth is unambiguous (/255) either way.
+    """
+    features_from_audio = model.features_from_audio
+    loss_fn = make_loss_fn(model, config, mpe_batch_size,
+                           conv_backend=conv_backend, mesh=mesh,
+                           interpret=interpret, tile_t=tile_t)
+    tx = make_optimizer(config)
 
     def step(params, opt_state, audio, ground_truth, lr):
         # Compact-upload dequantization (Trainer._compose_batch /

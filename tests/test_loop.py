@@ -113,6 +113,18 @@ def test_trainer_end_to_end(model, corpus, tmp_path):
     assert "ToyMPE" in best_results
     assert os.path.isdir(os.path.join(config.root_dir, "models", "model-2"))
     assert os.path.exists(os.path.join(config.root_dir, "config.json"))
+    # Sacred-parity run record (reference train.py:124 FileStorageObserver):
+    # run.json, metrics.json (per-checkpoint validation series), _sources/.
+    assert os.path.exists(os.path.join(config.root_dir, "run.json"))
+    import json
+
+    with open(os.path.join(config.root_dir, "metrics.json")) as fh:
+        metrics = json.load(fh)
+    key = "ToyMPE/mpe/f1-score"
+    assert metrics[key]["steps"] == [2, 4]
+    assert len(metrics[key]["values"]) == 2
+    assert os.path.isfile(os.path.join(
+        config.root_dir, "_sources", "timbre_trap_tpu", "train", "loop.py"))
 
 
 def test_trainer_dual_loader(model, corpus, tmp_path):

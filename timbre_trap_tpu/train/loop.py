@@ -93,6 +93,12 @@ class Trainer:
         self.log_dir = os.path.join(config.root_dir, "models")
         os.makedirs(self.log_dir, exist_ok=True)
         config.dump(os.path.join(config.root_dir, "config.json"))
+        # Sacred-parity run record (reference experiments/train.py:124 —
+        # FileStorageObserver folders carry config.json, run.json,
+        # metrics.json and _sources/ copies of the executed code).
+        self._metrics_log = {}
+        self._write_run_record()
+        self._snapshot_sources()
 
         self.mpe_batch_size = mpe_loader.batch_size
         self.epoch_steps = len(mpe_loader)
@@ -142,6 +148,60 @@ class Trainer:
         self.n_ckpt_elapsed = 0
 
     # ------------------------------------------------------------------ #
+
+    def _write_run_record(self):
+        """run.json: invocation + environment (sacred run.json parity)."""
+        import sys
+
+        record = {
+            "argv": list(sys.argv),
+            "start_time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "python": sys.version.split()[0],
+            "jax": jax.__version__,
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+        }
+        with open(os.path.join(self.config.root_dir, "run.json"), "w") as fh:
+            json.dump(record, fh, indent=2)
+
+    def _snapshot_sources(self):
+        """Copy the executed sources into ``_sources/`` (sacred parity:
+        the reference's run folders carry the exact code that produced the
+        run). Snapshots the entry script and the ``timbre_trap_tpu``
+        package .py files; skipped if the snapshot already exists (resume
+        into the same run directory)."""
+        import shutil
+        import sys
+
+        dst = os.path.join(self.config.root_dir, "_sources")
+        if os.path.isdir(dst):
+            return
+        os.makedirs(dst)
+        script = sys.argv[0] if sys.argv else None
+        if script and os.path.isfile(script):
+            shutil.copy2(script, os.path.join(dst, os.path.basename(script)))
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for root, _, files in os.walk(pkg_root):
+            rel = os.path.relpath(root, os.path.dirname(pkg_root))
+            for f in files:
+                if f.endswith(".py"):
+                    os.makedirs(os.path.join(dst, rel), exist_ok=True)
+                    shutil.copy2(os.path.join(root, f),
+                                 os.path.join(dst, rel, f))
+
+    def _record_metrics(self, results_by_set):
+        """Append validation metrics to metrics.json (sacred format:
+        {name: {"steps": [...], "values": [...]}}), one point per
+        checkpoint sweep."""
+        for set_name, results in results_by_set.items():
+            for key, value in results.items():
+                entry = self._metrics_log.setdefault(
+                    f"{set_name}/{key}", {"steps": [], "values": []})
+                entry["steps"].append(self.batch_count)
+                entry["values"].append(float(value))
+        with open(os.path.join(self.config.root_dir, "metrics.json"),
+                  "w") as fh:
+            json.dump(self._metrics_log, fh, indent=2)
 
     def _train_config(self, transcription_active):
         m = self.config.multipliers
@@ -400,6 +460,8 @@ class Trainer:
                 model=self.model, eval_set=val_set,
                 multipliers=c.multipliers, writer=self.writer,
                 i=self.batch_count)
+        if validation_results:
+            self._record_metrics(validation_results)
 
         warmup_active = self.batch_count < c.n_epochs_warmup * self.epoch_steps
         if (self.n_ckpt_decay and not warmup_active

@@ -30,13 +30,28 @@ def main():
     p.add_argument("--model-complexity", type=int, default=2)
     p.add_argument("--base-dirs", nargs="*", default=None,
                    help="base dir per dataset, aligned with --datasets")
+    p.add_argument("--compat", default="native",
+                   choices=["native", "cqt_pytorch"],
+                   help="transform frame; 'cqt_pytorch' evaluates weights "
+                        "trained on the reference frame (released-weights "
+                        "eval without going through parity.py)")
+    p.add_argument("--tables", default=None,
+                   help=".npz of measured cqt_pytorch tables "
+                        "(tools/calibrate_cqt_compat.py); default: analytic "
+                        "compat construction")
     p.add_argument("--log-path", default=None)
     args = p.parse_args()
+
+    tables = None
+    if args.tables:
+        from timbre_trap_tpu.transform import load_tables
+        tables = load_tables(args.tables)
 
     model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
                        bins_per_octave=args.bins_per_octave, secs_per_block=3,
                        latent_size=args.latent_size,
-                       model_complexity=args.model_complexity)
+                       model_complexity=args.model_complexity,
+                       transform_compat=args.compat, compat_tables=tables)
     model.params = load_params(args.checkpoint)
 
     from timbre_trap_tpu.data.datasets.MixedMultiPitch import (

@@ -6,6 +6,7 @@ machine with the TPU attached:
     python tools/tpu_perf.py level     # fused level kernels vs flax, per level
     python tools/tpu_perf.py e2e       # transcribe RTF: streaming f32 + int16
     python tools/tpu_perf.py train     # reference-recipe step time per backend
+    python tools/tpu_perf.py trainstep # per-phase breakdown of the train step
     python tools/tpu_perf.py f1        # synthetic-polyphony training F1 per backend
     python tools/tpu_perf.py truth     # fidelity vs a true-fp32 CPU ground truth
 
@@ -182,6 +183,146 @@ def cmd_train(args):
             f"({8*3*3/best:.1f} audio-s/s)")
 
 
+def cmd_trainstep(args):
+    """Phase economics of the reference-recipe training step (VERDICT r3
+    #3): dequantize / analysis transform / fused forward / backward(+dW) /
+    gradient telemetry / optimizer, measured as a LADDER of cumulative
+    jitted programs on identical inputs — the ~57 ms per-call dispatch
+    constant cancels in the differences (docs/PERFORMANCE.md "phase
+    economics" for the same technique on transcribe).
+
+    Every program's outputs are consumed through per-leaf max-abs
+    reductions (non-decomposable through dots — a plain sum would let XLA
+    rewrite sum(dot) into cheaper factored reductions and elide work;
+    see tools/kernel_bench.py bench_op)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timbre_trap_tpu.train.step import (TRAIN_AUDIO_SCALE, TrainConfig,
+                                            compact_audio,
+                                            compact_ground_truth,
+                                            grad_norm_telemetry,
+                                            init_train_state, make_loss_fn,
+                                            make_optimizer, make_train_step)
+    from timbre_trap_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    m = _flagship()
+    backend = args.backends.split(",")[0]
+    B, blocks = 8, 3
+    L = m.sliCQ.block_length * blocks
+    M = m.sliCQ.get_expected_frames(L)
+    F = m.sliCQ.n_bins
+    rng = np.random.default_rng(0)
+    audio = compact_audio(rng.standard_normal((B, 1, L)) * 0.1)
+    gt = compact_ground_truth(
+        (rng.uniform(size=(B, F, M)) > 0.97).astype(np.float32))
+    audio, gt = jnp.asarray(audio), jnp.asarray(gt)
+
+    cfg = TrainConfig(multiplier_consistency=1.0)
+    loss_fn = make_loss_fn(m, cfg, B, conv_backend=backend)
+    tx = make_optimizer(cfg)
+    params, opt = init_train_state(m, cfg)
+
+    def dequant(a, g):
+        return (a.astype(jnp.float32) * (1.0 / TRAIN_AUDIO_SCALE),
+                g.astype(jnp.float32) * (1.0 / 255.0))
+
+    def consume(tree):
+        return sum(jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+                   for leaf in jax.tree.leaves(tree))
+
+    @jax.jit
+    def prog_dq(a, g):
+        return consume(dequant(a, g))
+
+    @jax.jit
+    def prog_feat(a, g):
+        a, g = dequant(a, g)
+        return consume(m.features_from_audio(a)) + consume(g)
+
+    @jax.jit
+    def prog_fwd(p, a, g):
+        a, g = dequant(a, g)
+        total, _ = loss_fn(p, m.features_from_audio(a), g)
+        return total
+
+    @jax.jit
+    def prog_grad(p, a, g):
+        a, g = dequant(a, g)
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, m.features_from_audio(a), g)
+        return total + consume(grads)
+
+    @jax.jit
+    def prog_tel(p, a, g):
+        a, g = dequant(a, g)
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, m.features_from_audio(a), g)
+        return total + consume(grads) + consume(grad_norm_telemetry(grads))
+
+    full_step = jax.jit(make_train_step(m, cfg, B, conv_backend=backend,
+                                        compact_audio_grid=True))
+
+    def timed(fn, *fargs, iters=5):
+        float(jnp.sum(fn(*fargs)))  # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(*fargs)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def timed_log(name, fn, *fargs):
+        t0 = time.time()
+        t = timed(fn, *fargs)
+        log(f"# {name}: {t*1e3:.1f} ms (compile+measure {time.time()-t0:.0f}s)")
+        return t
+
+    t_disp = timed_log("dispatch", jax.jit(lambda x: x + 1.0),
+                       jnp.float32(0.0))
+    t_dq = timed_log("dequantize", prog_dq, audio, gt)
+    t_feat = timed_log("+analysis", prog_feat, audio, gt)
+    t_fwd = timed_log("+forward", prog_fwd, params, audio, gt)
+    t_grad = timed_log("+backward", prog_grad, params, audio, gt)
+    t_tel = timed_log("+telemetry", prog_tel, params, audio, gt)
+
+    def timed_step(iters=5):
+        p, o, met = full_step(params, opt, audio, gt, 1e-3)
+        float(met["loss/total"])
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            p, o, met = full_step(p, o, audio, gt, 1e-3)
+            float(met["loss/total"])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_full = timed_step()
+
+    log(f"backend={backend}  recipe: batch {B} x {blocks} blocks, "
+        f"consistency on")
+    log(f"{'ladder program':>28} {'wall':>9}")
+    for name, t in [("dispatch floor", t_disp), ("dequantize", t_dq),
+                    ("+ analysis transform", t_feat),
+                    ("+ fused forward (loss)", t_fwd),
+                    ("+ backward/dW (grads)", t_grad),
+                    ("+ grad telemetry", t_tel),
+                    ("full step (opt+update)", t_full)]:
+        log(f"{name:>28} {t*1e3:>7.1f}ms")
+    log("")
+    log(f"{'derived phase':>28} {'time':>9} {'% of step':>10}")
+    net = t_full - t_disp
+    for name, t in [("dequantize", t_dq - t_disp),
+                    ("analysis transform", t_feat - t_dq),
+                    ("fused forward", t_fwd - t_feat),
+                    ("backward + dW", t_grad - t_fwd),
+                    ("grad telemetry", t_tel - t_grad),
+                    ("optimizer + update", t_full - t_tel)]:
+        log(f"{name:>28} {t*1e3:>7.1f}ms {100*t/net:>9.1f}%")
+    log(f"{'TOTAL (step - dispatch)':>28} {net*1e3:>7.1f}ms")
+
+
 def cmd_pipeline(args):
     """Steady-state Trainer step wall time with the loader active vs the
     bare device step — shows the host→device upload hides under compute
@@ -310,12 +451,15 @@ def main():
                     help="skip_connections=True flagship variant")
     pp = sub.add_parser("pipeline")
     pp.add_argument("--backends", default="pallas")
+    ps = sub.add_parser("trainstep")
+    ps.add_argument("--backends", default="pallas_bf16")
     pf = sub.add_parser("f1")
     pf.add_argument("--backends", default="pallas")
     sub.add_parser("truth")
     args = p.parse_args()
     {"level": cmd_level, "e2e": cmd_e2e, "phases": cmd_phases,
-     "train": cmd_train, "pipeline": cmd_pipeline, "f1": cmd_f1,
+     "train": cmd_train, "trainstep": cmd_trainstep,
+     "pipeline": cmd_pipeline, "f1": cmd_f1,
      "truth": cmd_truth}[args.cmd](args)
 
 

@@ -15,13 +15,18 @@ __all__ = ["reference_recipe_step_time"]
 
 
 def reference_recipe_step_time(model, conv_backend, batch=8, blocks=3,
-                               iters=3, lr=1e-3, seed=0):
+                               iters=3, lr=1e-3, seed=0,
+                               return_memory=False):
     """Measure one training-step wall time at the reference recipe.
 
     Returns ``(step_seconds, first_loss)`` where ``step_seconds`` is the
     min over ``iters`` post-compile steps (each including the scalar-fetch
     sync) and ``first_loss`` the compile-step loss (a cheap numerics
     regression signal: backends must agree to ~1e-3 relative).
+
+    ``return_memory=True`` appends the compiled step's XLA
+    ``memory_analysis().peak_memory_in_bytes`` (device HBM high-water mark:
+    arguments + outputs + temporaries) as a third element.
     """
     import jax
     import jax.numpy as jnp
@@ -50,4 +55,8 @@ def reference_recipe_step_time(model, conv_backend, batch=8, blocks=3,
         params, opt, met = step(params, opt, audio, gt, lr)
         float(met["loss/total"])
         best = min(best, time.perf_counter() - t0)
+    if return_memory:
+        peak = step.lower(params, opt, audio, gt, lr).compile() \
+            .memory_analysis().peak_memory_in_bytes
+        return best, first_loss, peak
     return best, first_loss

@@ -17,9 +17,15 @@ XLA cannot hoist the op out of the loop (docs/PERFORMANCE.md).
 """
 
 import argparse
+import faulthandler
 import os
 import sys
 import time
+
+# The tunneled runtime occasionally hangs a dispatch forever (zero CPU,
+# futex wait — .claude/skills/verify/SKILL.md); dump all stacks if any
+# single study phase stalls >10 min so the hang site is attributable.
+faulthandler.dump_traceback_later(600, repeat=True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -176,11 +182,13 @@ def cmd_train(args):
         m = _flagship()
     for backend in args.backends.split(","):
         t0 = time.time()
-        best, loss = reference_recipe_step_time(m, backend)
+        best, loss, peak = reference_recipe_step_time(m, backend,
+                                                      return_memory=True)
         log(f"{backend}: compile+first {time.time()-t0-3*best:.0f}s "
             f"loss={loss:.2f}")
         log(f"{backend}: step {best*1000:.0f} ms "
-            f"({8*3*3/best:.1f} audio-s/s)")
+            f"({8*3*3/best:.1f} audio-s/s), "
+            f"peak HBM {peak/2**30:.2f} GiB")
 
 
 def cmd_trainstep(args):
@@ -207,6 +215,7 @@ def cmd_trainstep(args):
     from timbre_trap_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    log("# building model + uploading recipe batch ...")
     m = _flagship()
     backend = args.backends.split(",")[0]
     B, blocks = 8, 3
@@ -222,6 +231,7 @@ def cmd_trainstep(args):
     cfg = TrainConfig(multiplier_consistency=1.0)
     loss_fn = make_loss_fn(m, cfg, B, conv_backend=backend)
     tx = make_optimizer(cfg)
+    log("# initializing train state ...")
     params, opt = init_train_state(m, cfg)
 
     def dequant(a, g):
@@ -274,6 +284,7 @@ def cmd_trainstep(args):
         return best
 
     def timed_log(name, fn, *fargs):
+        log(f"# compiling {name} ...")
         t0 = time.time()
         t = timed(fn, *fargs)
         log(f"# {name}: {t*1e3:.1f} ms (compile+measure {time.time()-t0:.0f}s)")

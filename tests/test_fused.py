@@ -209,6 +209,57 @@ def test_fused_level_train_vjp_matches_xla_autodiff():
                                    atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("convout", [False, True])
+def test_fused_decoder_level_train_vjp_matches_xla_autodiff(convout):
+    """Decoder-level custom VJP == XLA autodiff for BOTH terminal shapes
+    the backward special-cases: a terminal residual block (no convout —
+    skip mode / inner decoder levels) and a terminal linear head (convout
+    fused, act=False). The encoder test covers the terminal activated
+    conv (sconv); together the three terminal item kinds are all hit."""
+    from timbre_trap_tpu.ops.fused_level import (make_fused_level_train,
+                                                 packed_level_apply_xla)
+
+    rng = np.random.default_rng(7)
+    Bt, Tt, c, f, p = 1, 24, 8, 40, 1
+    x0 = _rand(rng, Bt, f, Tt, c)
+    mod = DecoderBlock(out_channels=c // 2, padding=p)
+    params = dict(mod.init(jax.random.PRNGKey(2), x0)["params"])
+    if convout:
+        params["convout"] = {
+            "kernel": _rand(rng, 3, 3, c // 2, 2) * 0.2,
+            "bias": _rand(rng, 2) * 0.1}
+    xp = pack_nhwc(x0)
+
+    def build(params):
+        return decoder_level_spec(
+            {k: v for k, v in params.items() if k != "convout"}, f,
+            output_padding=p,
+            convout_params=params.get("convout"), with_adjoints=True)
+
+    spec0 = build(params)
+    w_ref = _rand(rng, Bt, spec0.r_out, Tt)
+
+    def loss_fused(params, xp):
+        spec = build(params)
+        fn = make_fused_level_train(spec, tile_t=128, interpret=True)
+        arrays = (spec.weight_arrays(jnp.float32)
+                  + spec.adjoint_arrays(jnp.float32))
+        return jnp.sum(fn(xp, *arrays) * w_ref)
+
+    def loss_xla(params, xp):
+        return jnp.sum(packed_level_apply_xla(xp, build(params)) * w_ref)
+
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=(0, 1))(params, xp)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, xp)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               atol=1e-4, rtol=1e-4)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1[0]))
+    for path, l2 in jax.tree_util.tree_leaves_with_path(g2[0]):
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(flat1[path]),
+                                   atol=1e-4, rtol=1e-3, err_msg=str(path))
+
+
 def test_fused_level_train_bf16_close_to_f32():
     """The mixed-precision (bf16 storage, f32 accumulate) fused training
     level tracks the f32 XLA autodiff values and gradients to bf16

@@ -317,10 +317,6 @@ def _conv_stage(slab, cb, blocks_ref, bias_ref, precision=None,
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _elu_grad(z):
-    return jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
-
-
 def _adjoint_apply(dz, g_adj, blocks_ref, precision):
     """Backprop a conv: cotangent (>= r_in rows, W) -> (r_out rows, W).
 
@@ -406,6 +402,26 @@ def _n_convs(geom):
     return sum(1 if it[0] == "conv" else 2 for it in geom.items)
 
 
+def _elu_grad(z):
+    return jnp.where(z > 0, 1.0, jnp.exp(jnp.minimum(z, 0.0)))
+
+
+def _elu_grad_from_out(y):
+    """ELU'(z) recovered from y = ELU(z): 1 where y > 0, else e^z = y + 1.
+
+    Lets the backward reconstruct activation gradients from stage OUTPUTS
+    (already stashed as the next item's input slab) instead of re-running
+    the stage's conv to re-derive the pre-activation. Exact in real math;
+    in floats the only divergence from ``_elu_grad(z)`` is the rounding of
+    y at the storage dtype — ~1 ULP(f32) / bf16-eps relative, the same
+    grade as the storage rounding the mixed-precision mode already accepts.
+    (ELU' is continuous at 0 — both branches give 1 — so a rounding-flipped
+    sign near y=0 costs nothing.)
+    """
+    y = y.astype(jnp.float32)
+    return jnp.where(y > 0, 1.0, y + 1.0)
+
+
 def _item_fwd(slab, it, ws, dtype, precision, return_inners=False):
     """One item's forward on a margined slab value.
 
@@ -441,16 +457,25 @@ def _forward_slabs(xv, geom, weights, col_ok, dtype, precision):
     stage evaluations per level backward. Stashing the n input slabs as
     live VMEM values instead costs sum(r_slab · w_t) ≈ a few MB at the
     flagship tile (well under the 100 MB VMEM budget) and runs the forward
-    exactly once.
+    exactly once. The last item's output is never needed here: the
+    backward reconstructs what it needs from the slabs (non-terminal
+    items) or replays the terminal item once (see ``_level_bwd_kernel``).
+
+    Item 0's slab is stashed as ``None``: it is just ``xv[:, :]`` and the
+    scratch is never overwritten, so the backward re-reads the ref at its
+    (last-in-reverse-order) use instead of keeping a full value copy of
+    the widest slab live across the entire backward — the copy's live
+    range was what pushed the f32 recipe shape 204 KB over the 100 MB
+    scoped-vmem stack.
     """
     slabs = []
     slab = xv[:, :]
     wi = 0
     n_items = len(geom.items)
     for i2, it in enumerate(geom.items):
-        slabs.append(slab)
+        slabs.append(None if i2 == 0 else slab)
         n_w = 2 if it[0] == "conv" else 4
-        if i2 + 1 < n_items:  # the last item's output is never needed here
+        if i2 + 1 < n_items:
             y, r, _ = _item_fwd(slab, it, weights[wi:wi + n_w], dtype,
                                 precision)
             y = jnp.where(col_ok, y, 0.0)
@@ -532,29 +557,64 @@ def _level_bwd_kernel(geom, adj_geom, dtype, tile_t, t_total, precision,
         conv_idx.append(ci)
         ci += 1 if it[0] == "conv" else 2
 
+    # Backward recompute policy (r4, train-step phase economics,
+    # docs/PERFORMANCE.md): a NON-terminal item's output is already
+    # stashed as the center rows of the next item's input slab, so its
+    # ELU gradient reconstructs for free (``_elu_grad_from_out``) and a
+    # residual block's inner output recovers as y - residual — only
+    # conv1 must be replayed (its activation a1s is conv2's dW input).
+    # Terminal items replay once as before (stashing their output would
+    # grow the live-VMEM watermark, which binds at f32 recipe shapes:
+    # the full-stash variant OOM'd the 100 MB scoped-vmem stack by
+    # 8.25 MB). A terminal LINEAR head (the fused convout) needs no
+    # forward at all: dZ = dY. Net: encoder level replays 4/8 stages
+    # instead of 8/8; decoder+convout replays 3/8.
     slabs = _forward_slabs(xv, geom, weights, col_ok, dtype, precision)
     dY = dyv[:, :][:geom.r_out].astype(jnp.float32)
     for idx in reversed(range(n_items)):
-        slab_in = slabs[idx]
+        # slabs[0] is a deferred read of the (never-mutated) xv scratch —
+        # see _forward_slabs' stack-liveness note.
+        slab_in = xv[:, :] if slabs[idx] is None else slabs[idx]
         it = geom.items[idx]
         ad = adj_geom.items[idx]
         wi = w_offsets[idx]
         ci = conv_idx[idx]
+        last = idx + 1 == n_items
         if it[0] == "conv":
             g, act = it[1], it[2]
-            z = _conv_stage(slab_in, g, weights[wi], weights[wi + 1],
-                            precision)[:g.r_out]
-            dZ = dY * _elu_grad(z) if act else dY
+            if not act:
+                dZ = dY  # linear head: no forward needed
+            elif last:
+                z = _conv_stage(slab_in, g, weights[wi], weights[wi + 1],
+                                precision)[:g.r_out]
+                dZ = dY * _elu_grad(z)
+            else:
+                nxt_top = _slab_geometry(geom.items[idx + 1][1])[0]
+                y = slabs[idx + 1][nxt_top:nxt_top + g.r_out]
+                dZ = dY * _elu_grad_from_out(y)
             dZm = jnp.where(dw_mask, dZ, 0.0)
             _accum_dw(dw_refs[ci], db_refs[ci], dZm, slab_in, g, first,
                       precision)
             dY = _adjoint_apply(dZ, ad[1], adjs[ci], precision)
         else:
             g1, g2 = it[1], it[2]
-            _, r, (h1, a1s, h2) = _item_fwd(
-                slab_in, it, weights[wi:wi + 4], dtype, precision,
-                return_inners=True)
-            dH2 = dY * _elu_grad(h2)
+            r = g1.r_out
+            if last:
+                _, _, (h1, a1s, h2) = _item_fwd(
+                    slab_in, it, weights[wi:wi + 4], dtype, precision,
+                    return_inners=True)
+                dH2 = dY * _elu_grad(h2)
+            else:
+                # eh2 = y - residual, both already stashed as slab centers
+                nxt_top = _slab_geometry(geom.items[idx + 1][1])[0]
+                y = slabs[idx + 1][nxt_top:nxt_top + r].astype(jnp.float32)
+                top = g1.margin
+                eh2 = y - slab_in[top:top + r].astype(jnp.float32)
+                dH2 = dY * _elu_grad_from_out(eh2)
+                h1 = _conv_stage(slab_in, g1, weights[wi], weights[wi + 1],
+                                 precision)[:r]
+                top2, bot2 = _slab_geometry(g2)
+                a1s = _make_slab(_elu(h1), top2, bot2, r, dtype)
             dH2m = jnp.where(dw_mask, dH2, 0.0)
             _accum_dw(dw_refs[ci + 1], db_refs[ci + 1], dH2m, a1s, g2,
                       first, precision)

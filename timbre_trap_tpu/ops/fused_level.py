@@ -497,19 +497,25 @@ def _accum_dw(dw_ref, db_ref, dz_masked, in_slab, g, first, precision):
     pad_rows = g.n_out_blocks * BLOCK_ROWS - dz_masked.shape[0]
     if pad_rows:
         dz_masked = jnp.pad(dz_masked, ((0, pad_rows), (0, 0)))
+    # dW dots run with STORAGE-dtype operands (bf16 in mixed-precision
+    # mode — the standard AMP backward, matching the adjoint convs and the
+    # reference's autocast training) while accumulating f32. dBias keeps
+    # the full-f32 cotangent: it is a plain reduction, no MXU to win.
+    dz_ops = dz_masked.astype(in_slab.dtype)
     db = None
     for di, dt in enumerate(g.dts):
         acc = None
         for j in range(g.n_out_blocks):
-            dzj = dz_masked[j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS, :]
+            dzj = dz_ops[j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS, :]
             xsl = _shift_t(
                 in_slab[j * g.col_adv:j * g.col_adv + g.k, :], dt)
             term = jax.lax.dot_general(
-                dzj, xsl.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                dzj, xsl, (((1,), (1,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32)
             acc = term if acc is None else acc + term
             if di == 0:
-                s = jnp.sum(dzj, axis=1, keepdims=True)
+                s = jnp.sum(dz_masked[j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS,
+                                      :], axis=1, keepdims=True)
                 db = s if db is None else db + s
         dw_ref[di] = dw_ref[di] + acc
     db_ref[...] = db_ref[...] + db
@@ -756,12 +762,13 @@ def make_fused_level_train(spec: LevelSpec, tile_t=None, interpret=False,
     numerics of the XLA backends.
 
     ``dtype=bfloat16`` is the mixed-precision training mode: level
-    activations/slabs are STORED bf16 and the forward/adjoint matmuls run
-    with bf16 operands, while every accumulation — conv outputs, dX, dW,
-    dBias — stays float32 (the standard bf16-compute/f32-accumulate
-    recipe). The differentiable weight arrays remain f32 (they are cast
-    once per step outside the kernels), so parameter gradients and the
-    optimizer see full-precision leaves.
+    activations/slabs are STORED bf16 and the forward, adjoint AND dW
+    matmuls run with bf16 operands, while every accumulation — conv
+    outputs, dX, dW, dBias — stays float32 (the standard
+    bf16-compute/f32-accumulate recipe, the same precision the
+    reference's autocast backward uses). The differentiable weight
+    arrays remain f32 (they are cast once per step outside the kernels),
+    so parameter gradients and the optimizer see full-precision leaves.
     """
     geom = spec.geom()
     adj_geom = spec.adjoint_geom()

@@ -84,7 +84,12 @@ def default_train_tile_t(dtype):
     recipe shapes and goes 48 KB OVER on others (T=1024 single-block
     crops) — 384 keeps ~25% headroom at 96% of the speed. bf16 halves the
     slab bytes, so 512 is safe (verified at both shapes); 640 (f32) and
-    768 (both) exhaust backward-kernel VMEM outright."""
+    768 (both) exhaust backward-kernel VMEM outright.
+
+    Re-swept in r4 after the reconstruction backward landed (it extends
+    each stashed slab's live range by one item): bf16 640/768 and f32 512
+    now OOM the backward stack at the recipe shape, so the r3 defaults
+    remain the widest safe tiles."""
     return 512 if jnp.dtype(dtype) == jnp.bfloat16 else 384
 
 

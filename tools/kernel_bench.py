@@ -10,6 +10,8 @@ Usage:
     python tools/kernel_bench.py            # built-in conv layout study
     python tools/kernel_bench.py conv      # same, explicitly
     python tools/kernel_bench.py int8      # int8-vs-bf16 MXU matmul study
+    python tools/kernel_bench.py bwd [bfloat16|float32]
+                                           # per-level fused fwd vs bwd cost
 Unknown study names are an error (not a silent fall-through to conv).
 """
 
@@ -157,6 +159,82 @@ def int8_matmul_study():
               f"{speedup:>12.2f}x")
 
 
+def fused_bwd_study(dtype_name="bfloat16"):
+    """Per-level fused forward vs VJP cost at the reference recipe shape.
+
+    The train-step phase table (docs/PERFORMANCE.md) shows backward+dW at
+    ~3.2x the forward after recompute elimination — more than the ~2x an
+    MXU-rate model predicts. This study localizes the excess per LEVEL
+    (B=8, T = recipe frames, flagship geometry) by timing each level's
+    Pallas forward alone and its full VJP (forward + backward kernel) with
+    the level's own output as cotangent. ``bwd`` is the difference — one
+    backward kernel including dX adjoints, dW/dB accumulation, and the
+    terminal-item replay.
+    """
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.models.modules import embedding_sizes
+    from timbre_trap_tpu.ops.fused_level import (decoder_level_spec,
+                                                 encoder_level_spec,
+                                                 make_fused_level_train)
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    m = TimbreTrap(sample_rate=22050, n_octaves=9, bins_per_octave=60,
+                   secs_per_block=3, latent_size=128, model_complexity=2)
+    M = m.sliCQ.get_expected_frames(m.sliCQ.block_length * 3)
+    B = 8
+    params = m.params
+    sizes, paddings = embedding_sizes(m.net.feature_size)
+    specs = []
+    f = m.net.feature_size
+    for i in range(4):
+        spec = encoder_level_spec(
+            params["encoder"][f"block{i + 1}"], f,
+            convin_params=(params["encoder"]["convin"] if i == 0 else None),
+            with_adjoints=True)
+        specs.append((f"enc{i + 1}", spec))
+        f = sizes[i]
+    f = sizes[-1]
+    for i in range(4):
+        spec = decoder_level_spec(
+            params["decoder"][f"block{i + 1}"], f,
+            output_padding=paddings[i],
+            convout_params=(params["decoder"]["convout"] if i == 3
+                            else None),
+            with_adjoints=True)
+        specs.append((f"dec{i + 1}", spec))
+        f = spec.items[0][1].f_out
+
+    rng = np.random.default_rng(0)
+    tot_f = tot_b = 0.0
+    print(f"recipe shape B={B} T={M} dtype={dtype_name}")
+    print(f"{'level':>6} {'r_in':>6} {'r_out':>6} {'fwd':>10} "
+          f"{'fwd+bwd':>10} {'bwd':>10} {'bwd:fwd':>8}")
+    for name, spec in specs:
+        fn = make_fused_level_train(spec, dtype=dtype)
+        arrays = tuple(spec.weight_arrays(jnp.float32)
+                       + spec.adjoint_arrays(jnp.float32))
+        g = spec.geom()
+        x = jnp.asarray(rng.standard_normal((B, g.r_in, M)) * 0.1,
+                        jnp.float32)
+
+        def fwd(x_, *a):
+            return fn(x_, *a)
+
+        def fwd_bwd(x_, *a):
+            y, vjp = jax.vjp(fn, x_, *a)
+            return vjp(y)[0]  # dX with the level's own output as cotangent
+
+        tf = bench_op(fwd, (x,) + arrays, iters=10)
+        tfb = bench_op(fwd_bwd, (x,) + arrays, iters=10)
+        tb = tfb - tf
+        tot_f += tf
+        tot_b += tb
+        print(f"{name:>6} {g.r_in:>6} {g.r_out:>6} {tf*1e3:>8.2f}ms "
+              f"{tfb*1e3:>8.2f}ms {tb*1e3:>8.2f}ms {tb/tf:>7.2f}x")
+    print(f"{'total':>6} {'':>6} {'':>6} {tot_f*1e3:>8.2f}ms "
+          f"{'':>10} {tot_b*1e3:>8.2f}ms {tot_b/tot_f:>7.2f}x")
+
+
 if __name__ == "__main__":
     enable_persistent_compilation_cache()
     study = sys.argv[1] if len(sys.argv) > 1 else "conv"
@@ -164,5 +242,7 @@ if __name__ == "__main__":
         int8_matmul_study()
     elif study == "conv":
         conv_layout_study()
+    elif study == "bwd":
+        fused_bwd_study(sys.argv[2] if len(sys.argv) > 2 else "bfloat16")
     else:
-        sys.exit(f"unknown study {study!r}; available: conv, int8")
+        sys.exit(f"unknown study {study!r}; available: conv, int8, bwd")

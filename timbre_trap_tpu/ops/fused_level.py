@@ -340,6 +340,62 @@ def _make_slab(y, cb_next_top, cb_next_bottom, r_valid, dtype):
     return jnp.pad(y.astype(dtype), ((cb_next_top, cb_next_bottom), (0, 0)))
 
 
+def _dbuf(dtype):
+    """Whether the manual input DMAs run double-buffered (bf16 storage).
+
+    The blocked outputs are pipelined by pallas itself; only the ANY-space
+    inputs are copied manually, and serial start()+wait() stalls compute on
+    every tile. bf16 mode has the VMEM headroom for a second buffer; f32
+    does not (the f32 train backward sits within ~1% of the 100 MB scoped
+    limit at its widest safe tile, and f32-HIGHEST inference is
+    VMEM-capped at tile 128 already).
+    """
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
+def _input_dma(hbm, scratch, sem, tile_t, w_t, dbuf):
+    """Stream THIS grid step's (b, :, j·tile_t : +w_t) window into VMEM.
+
+    Returns ``(window_ref, wait)`` — call ``wait()`` before reading the
+    ref; keeping start and wait separate lets a kernel with several
+    inputs overlap their copies even in serial mode.
+
+    ``dbuf=False``: scratch is (rows, w_t); plain copy for this tile.
+    ``dbuf=True``: scratch is (2, rows, w_t), sem is DMA((2,)); revolving
+    buffers pipelined ACROSS grid steps (TPU grids run sequentially and
+    scratch persists, exactly like the cross-step dW accumulators): tile
+    k's copy was started during tile k−1's step, and tile k starts k+1's
+    copy BEFORE waiting on its own, so the next window streams in behind
+    this tile's compute. Slot (k+1)%2 is free by then — its last user was
+    tile k−1, whose compute finished with its grid step.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    if not dbuf:
+        copy = pltpu.make_async_copy(
+            hbm.at[b, :, pl.ds(j * tile_t, w_t)], scratch, sem)
+        copy.start()
+        return scratch, copy.wait
+    n_j = pl.num_programs(1)
+    flat = b * n_j + j
+    total = pl.num_programs(0) * n_j
+
+    def dma(k, slot):
+        return pltpu.make_async_copy(
+            hbm.at[k // n_j, :, pl.ds((k % n_j) * tile_t, w_t)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(flat == 0)
+    def _():
+        dma(flat, 0).start()
+
+    @pl.when(flat + 1 < total)
+    def _():
+        dma(flat + 1, (flat + 1) % 2).start()
+
+    return scratch.at[flat % 2], dma(flat, flat % 2).wait
+
+
 def _level_kernel(spec, dtype, tile_t, t_total, precision, x_hbm, *args):
     # args layout: [w0, b0, w1, b1, ...], o_ref, xv scratch, sem
     # ``spec`` is a LevelSpec or its array-free LevelGeom twin.
@@ -347,15 +403,12 @@ def _level_kernel(spec, dtype, tile_t, t_total, precision, x_hbm, *args):
     weights = args[:n_w]
     o_ref, xv, sem = args[n_w], args[n_w + 1], args[n_w + 2]
 
-    b = pl.program_id(0)
     j = pl.program_id(1)
     # 128-aligned window (Mosaic requires lane-dim DMA slices in units of
     # 128): tile_t useful columns + a 64-column halo on each side.
     w_t = tile_t + 2 * HALO
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(j * tile_t, w_t)], xv, sem)
-    copy.start()
-    copy.wait()
+    xv, wait_x = _input_dma(x_hbm, xv, sem, tile_t, w_t, _dbuf(dtype))
+    wait_x()
 
     # Columns outside the real [0, t_total) range (global edge halos and the
     # tile-multiple tail) must stay zero between stages: a conv writes
@@ -541,14 +594,11 @@ def _level_bwd_kernel(geom, adj_geom, dtype, tile_t, t_total, precision,
     j = pl.program_id(1)
     first = (b == 0) & (j == 0)
     w_t = tile_t + 2 * HALO
-    cx = pltpu.make_async_copy(x_hbm.at[b, :, pl.ds(j * tile_t, w_t)], xv,
-                               semx)
-    cy = pltpu.make_async_copy(dy_hbm.at[b, :, pl.ds(j * tile_t, w_t)], dyv,
-                               semy)
-    cx.start()
-    cy.start()
-    cx.wait()
-    cy.wait()
+    dbuf = _dbuf(dtype)
+    xv, wait_x = _input_dma(x_hbm, xv, semx, tile_t, w_t, dbuf)
+    dyv, wait_dy = _input_dma(dy_hbm, dyv, semy, tile_t, w_t, dbuf)
+    wait_x()
+    wait_dy()
 
     local = jax.lax.broadcasted_iota(jnp.int32, (1, w_t), 1)
     col_global = j * tile_t + local - HALO
@@ -688,8 +738,10 @@ def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision):
                                lambda bi, ji: (bi, 0, ji),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, geom.rb_out, n_t * tile_t), dtype),
-        scratch_shapes=[pltpu.VMEM((r_slab, w_t), dtype),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, r_slab, w_t) if _dbuf(dtype)
+                                   else (r_slab, w_t), dtype),
+                        pltpu.SemaphoreType.DMA((2,)) if _dbuf(dtype)
+                        else pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -706,8 +758,12 @@ def _pallas_bwd_call(geom, adj_geom, x, dy, weights, adjs, dtype, tile_t,
     xp = jnp.pad(x.astype(dtype),
                  ((0, 0), (top, bottom), (HALO, HALO + pad_t)))
     dy_rows = geom.rb_out + (-geom.rb_out % 32)
-    dyp = jnp.pad(dy.astype(jnp.float32),
-                  ((0, 0), (0, dy_rows - geom.r_out), (HALO, HALO + pad_t)))
+    # dy travels at its NATIVE dtype (bf16 cotangents in mixed-precision
+    # mode — the level outputs are bf16, so their cotangents already are;
+    # upcasting here only doubled the HBM->VMEM DMA bytes). The kernel
+    # widens to f32 right after the load.
+    dyp = jnp.pad(dy, ((0, 0), (0, dy_rows - geom.r_out),
+                       (HALO, HALO + pad_t)))
     w_t = tile_t + 2 * HALO
     rb_in = _cdiv(geom.r_in, BLOCK_ROWS) * BLOCK_ROWS
 
@@ -741,10 +797,14 @@ def _pallas_bwd_call(geom, adj_geom, x, dy, weights, adjs, dtype, tile_t,
                                 memory_space=pltpu.VMEM)] + reduce_specs,
         out_shape=[jax.ShapeDtypeStruct((b, rb_in, n_t * tile_t),
                                         jnp.float32)] + dw_shapes,
-        scratch_shapes=[pltpu.VMEM((r_slab, w_t), dtype),
-                        pltpu.VMEM((dy_rows, w_t), jnp.float32),
-                        pltpu.SemaphoreType.DMA,
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, r_slab, w_t) if _dbuf(dtype)
+                                   else (r_slab, w_t), dtype),
+                        pltpu.VMEM((2, dy_rows, w_t) if _dbuf(dtype)
+                                   else (dy_rows, w_t), dy.dtype),
+                        pltpu.SemaphoreType.DMA((2,)) if _dbuf(dtype)
+                        else pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,)) if _dbuf(dtype)
+                        else pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

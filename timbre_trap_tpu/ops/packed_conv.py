@@ -136,29 +136,32 @@ def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts):
     margin_rows += shift
     k = (hi - lo + 1) * c_in + shift
 
-    # Static scatter map (geometry only, no weight values): the block is a
-    # gather of the kernel, so building runs on-device under jit — weights
-    # are never pulled to the host (device->host is slow on tunneled TPU
-    # runtimes) and the formulation stays differentiable.
+    # Static tap map (geometry only, no weight values): M[df, fl, g] = 1
+    # where a block-local output frequency fl reads window offset g via
+    # frequency tap df (injective — no two taps hit the same (fl, g), so
+    # the contraction below reproduces the banded gather exactly).
+    # Building blocks as a ONE-HOT EINSUM of the kernel keeps the
+    # formulation on-device-under-jit and differentiable like the old
+    # advanced-index gather — but its autodiff TRANSPOSE is another tiny
+    # einsum (dKernel = M · dBlocks) instead of a scatter-add whose
+    # indices repeat n_f_per_block-fold, which XLA:TPU serializes (the
+    # recipe step runs ~150 such block-builder VJPs; the scatter form
+    # accounted for a large share of the backward's non-kernel time).
     n_dt = len(dts)
-    idx = np.zeros((4, n_dt, BLOCK_ROWS, k), np.int32)
-    valid = np.zeros((n_dt, BLOCK_ROWS, k), bool)
-    for di in range(n_dt):
-        for fl in range(n_f_per_block):
-            for co in range(c_out):
-                r = fl * c_out + co
-                for df in range(n_df):
-                    off = f_taps(fl, df)
-                    if off is None:
-                        continue
-                    base = (off - lo) * c_in + shift
-                    for ci in range(c_in):
-                        idx[:, di, r, base + ci] = (df, di, ci, co)
-                        valid[di, r, base + ci] = True
+    n_g = hi - lo + 1
+    m = np.zeros((n_df, n_f_per_block, n_g), np.float32)
+    for fl in range(n_f_per_block):
+        for df in range(n_df):
+            off = f_taps(fl, df)
+            if off is not None:
+                m[df, fl, off - lo] = 1.0
 
-    kern = jnp.asarray(kernel_fc)
-    blocks = jnp.where(jnp.asarray(valid),
-                       kern[tuple(jnp.asarray(idx))], 0.0)
+    kern = jnp.asarray(kernel_fc)  # (n_df, n_dt, c_in, c_out)
+    b5 = jnp.einsum("afg,adic->dfcgi", jnp.asarray(m), kern,
+                    precision="highest",
+                    preferred_element_type=jnp.float32)
+    core = b5.reshape(n_dt, BLOCK_ROWS, n_g * c_in)
+    blocks = jnp.pad(core, ((0, 0), (0, 0), (shift, 0)))
 
     bias = jnp.asarray(bias)
     bias_pat = jnp.tile(bias, n_f_per_block)

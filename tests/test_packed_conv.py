@@ -115,3 +115,33 @@ def test_pack_round_trip():
     x = _rand(rng, 2, 13, 9, 4)
     np.testing.assert_array_equal(
         np.asarray(unpack_to_nhwc(pack_nhwc(x), 4)), np.asarray(x))
+
+
+def test_builder_forms_identical_blocks():
+    """The gather (inference) and one-hot-einsum (training VJP) block
+    builders produce bit-comparable banded blocks for every conv family
+    (packed_conv._build_blocks vjp_einsum; the r5 device_rtf bisect gave
+    each execution path the form measured fastest there)."""
+    rng = np.random.default_rng(11)
+    cases = []
+    for c, f in [(4, 540), (32, 65)]:
+        k3 = _rand(rng, 3, 3, c, c)
+        b = _rand(rng, c)
+        cases.append(lambda e, k3=k3, b=b, f=f, c=c:
+                     build_conv2d_blocks(k3, b, f, 2, vjp_einsum=e))
+        ks = _rand(rng, 4, 1, c, 2 * c)
+        bs = _rand(rng, 2 * c)
+        cases.append(lambda e, ks=ks, bs=bs, f=f:
+                     build_sconv_blocks(ks, bs, f, 2, vjp_einsum=e))
+        kt = _rand(rng, 4, 1, c, c // 2 if c > 2 else c)
+        bt = _rand(rng, kt.shape[-1])
+        cases.append(lambda e, kt=kt, bt=bt, f=f:
+                     build_tconv_blocks(kt, bt, f, 2, output_padding=1,
+                                        vjp_einsum=e))
+    for make in cases:
+        g, s = make(False), make(True)
+        assert (g.dts, g.col_adv, g.margin, g.k) == \
+               (s.dts, s.col_adv, s.margin, s.k)
+        np.testing.assert_allclose(np.asarray(g.blocks),
+                                   np.asarray(s.blocks), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g.bias), np.asarray(s.bias))

@@ -61,7 +61,8 @@ def _conv2d_level_spec(conv_params, f, act, with_adjoints=False):
     from ..ops.fused_level import LevelSpec, _attach_conv2d_adjoint
     from ..ops.packed_conv import build_conv2d_blocks
 
-    cb = build_conv2d_blocks(conv_params["kernel"], conv_params["bias"], f, 1)
+    cb = build_conv2d_blocks(conv_params["kernel"], conv_params["bias"], f, 1,
+                             vjp_einsum=with_adjoints)
     if with_adjoints:
         _attach_conv2d_adjoint(cb, conv_params["kernel"], f, 1)
     return LevelSpec([("conv", cb, act)], cb.r_in)

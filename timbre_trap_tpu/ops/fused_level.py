@@ -186,7 +186,7 @@ def _attach_conv2d_adjoint(cb, kernel, f_in, dilation):
     adj_k = jnp.flip(jnp.asarray(kernel, jnp.float32), (0, 1)
                      ).transpose(0, 1, 3, 2)
     cb.adjoint = build_conv2d_blocks(adj_k, _zeros_bias(kernel), f_in,
-                                     dilation)
+                                     dilation, vjp_einsum=True)
     return cb
 
 
@@ -197,7 +197,8 @@ def _attach_sconv_adjoint(cb, kernel, f_in, stride=2):
     pad = f_in - ((cb.f_out - 1) * stride + kh)
     adj_k = jnp.asarray(kernel, jnp.float32).transpose(0, 1, 3, 2)
     cb.adjoint = build_tconv_blocks(adj_k, _zeros_bias(kernel), cb.f_out,
-                                    stride=stride, output_padding=pad)
+                                    stride=stride, output_padding=pad,
+                                    vjp_einsum=True)
     assert cb.adjoint.r_out == cb.r_in
     return cb
 
@@ -206,7 +207,7 @@ def _attach_tconv_adjoint(cb, kernel, stride=2):
     """dX of the transposed conv = strided VALID conv, channels swapped."""
     adj_k = jnp.asarray(kernel, jnp.float32).transpose(0, 1, 3, 2)
     cb.adjoint = build_sconv_blocks(adj_k, _zeros_bias(kernel), cb.f_out,
-                                    stride=stride)
+                                    stride=stride, vjp_einsum=True)
     assert cb.adjoint.r_out == cb.r_in, (cb.adjoint.r_out, cb.r_in)
     return cb
 
@@ -221,22 +222,24 @@ def encoder_level_spec(block_params, f_in, convin_params=None,
     items = []
     if convin_params is not None:
         cb = build_conv2d_blocks(convin_params["kernel"],
-                                 convin_params["bias"], f_in, 1)
+                                 convin_params["bias"], f_in, 1,
+                                 vjp_einsum=with_adjoints)
         if with_adjoints:
             _attach_conv2d_adjoint(cb, convin_params["kernel"], f_in, 1)
         items.append(("conv", cb, True))
     for i, d in enumerate((1, 2, 3)):
         rb = block_params[f"block{i + 1}"]
         cb1 = build_conv2d_blocks(rb["conv1"]["kernel"], rb["conv1"]["bias"],
-                                  f_in, d)
+                                  f_in, d, vjp_einsum=with_adjoints)
         cb2 = build_conv2d_blocks(rb["conv2"]["kernel"], rb["conv2"]["bias"],
-                                  f_in, 1)
+                                  f_in, 1, vjp_einsum=with_adjoints)
         if with_adjoints:
             _attach_conv2d_adjoint(cb1, rb["conv1"]["kernel"], f_in, d)
             _attach_conv2d_adjoint(cb2, rb["conv2"]["kernel"], f_in, 1)
         items.append(("rb", cb1, cb2))
     sc = block_params["sconv"]
-    cbs = build_sconv_blocks(sc["kernel"], sc["bias"], f_in, stride=2)
+    cbs = build_sconv_blocks(sc["kernel"], sc["bias"], f_in, stride=2,
+                             vjp_einsum=with_adjoints)
     if with_adjoints:
         _attach_sconv_adjoint(cbs, sc["kernel"], f_in, stride=2)
     items.append(("conv", cbs, True))
@@ -252,7 +255,8 @@ def decoder_level_spec(block_params, f_in, output_padding=0,
     """
     tc = block_params["tconv"]
     cb_t = build_tconv_blocks(tc["kernel"], tc["bias"], f_in, stride=2,
-                              output_padding=output_padding)
+                              output_padding=output_padding,
+                              vjp_einsum=with_adjoints)
     if with_adjoints:
         _attach_tconv_adjoint(cb_t, tc["kernel"], stride=2)
     items = [("conv", cb_t, True)]
@@ -260,16 +264,17 @@ def decoder_level_spec(block_params, f_in, output_padding=0,
     for i, d in enumerate((1, 2, 3)):
         rb = block_params[f"block{i + 1}"]
         cb1 = build_conv2d_blocks(rb["conv1"]["kernel"], rb["conv1"]["bias"],
-                                  f_mid, d)
+                                  f_mid, d, vjp_einsum=with_adjoints)
         cb2 = build_conv2d_blocks(rb["conv2"]["kernel"], rb["conv2"]["bias"],
-                                  f_mid, 1)
+                                  f_mid, 1, vjp_einsum=with_adjoints)
         if with_adjoints:
             _attach_conv2d_adjoint(cb1, rb["conv1"]["kernel"], f_mid, d)
             _attach_conv2d_adjoint(cb2, rb["conv2"]["kernel"], f_mid, 1)
         items.append(("rb", cb1, cb2))
     if convout_params is not None:
         cb = build_conv2d_blocks(convout_params["kernel"],
-                                 convout_params["bias"], f_mid, 1)
+                                 convout_params["bias"], f_mid, 1,
+                                 vjp_einsum=with_adjoints)
         if with_adjoints:
             _attach_conv2d_adjoint(cb, convout_params["kernel"], f_mid, 1)
         items.append(("conv", cb, False))
@@ -341,14 +346,20 @@ def _make_slab(y, cb_next_top, cb_next_bottom, r_valid, dtype):
 
 
 def _dbuf(dtype):
-    """Whether the manual input DMAs run double-buffered (bf16 storage).
+    """Whether the TRAINING kernels' input DMAs run double-buffered.
 
     The blocked outputs are pipelined by pallas itself; only the ANY-space
     inputs are copied manually, and serial start()+wait() stalls compute on
-    every tile. bf16 mode has the VMEM headroom for a second buffer; f32
-    does not (the f32 train backward sits within ~1% of the 100 MB scoped
-    limit at its widest safe tile, and f32-HIGHEST inference is
-    VMEM-capped at tile 128 already).
+    every tile. bf16 training has the VMEM headroom for a second buffer;
+    f32 does not (the f32 train backward sits within ~1% of the 100 MB
+    scoped limit at its widest safe tile).
+
+    INFERENCE always runs serial: the r5 on-chip bisect
+    (tools/bisect_device_rtf.py, docs/PERFORMANCE.md "device_rtf bisect")
+    measured double-buffering ~45 RTF (≈4%) SLOWER on bf16 device-resident
+    transcribe — at inference tile widths the extra buffer halves the slab
+    VMEM left for the level's live temps and the DMAs were already short
+    relative to compute — so ``fused_level_apply`` pins dbuf off.
     """
     return jnp.dtype(dtype) == jnp.bfloat16
 
@@ -396,7 +407,8 @@ def _input_dma(hbm, scratch, sem, tile_t, w_t, dbuf):
     return scratch.at[flat % 2], dma(flat, flat % 2).wait
 
 
-def _level_kernel(spec, dtype, tile_t, t_total, precision, x_hbm, *args):
+def _level_kernel(spec, dtype, tile_t, t_total, precision, dbuf, x_hbm,
+                  *args):
     # args layout: [w0, b0, w1, b1, ...], o_ref, xv scratch, sem
     # ``spec`` is a LevelSpec or its array-free LevelGeom twin.
     n_w = 2 * _n_convs(spec)
@@ -407,7 +419,7 @@ def _level_kernel(spec, dtype, tile_t, t_total, precision, x_hbm, *args):
     # 128-aligned window (Mosaic requires lane-dim DMA slices in units of
     # 128): tile_t useful columns + a 64-column halo on each side.
     w_t = tile_t + 2 * HALO
-    xv, wait_x = _input_dma(x_hbm, xv, sem, tile_t, w_t, _dbuf(dtype))
+    xv, wait_x = _input_dma(x_hbm, xv, sem, tile_t, w_t, dbuf)
     wait_x()
 
     # Columns outside the real [0, t_total) range (global edge halos and the
@@ -704,7 +716,7 @@ def fused_level_apply(x, spec: LevelSpec, dtype=jnp.float32,
         tile_t = default_tile_t(dtype)
     weights = spec.weight_arrays(dtype)
     return _pallas_fwd_call(spec.geom(), x, weights, dtype, tile_t,
-                            interpret, None)
+                            interpret, None, dbuf=False)
 
 
 def _pad_slab_rows(geom_first_conv, r_in):
@@ -714,7 +726,8 @@ def _pad_slab_rows(geom_first_conv, r_in):
     return top, bottom, top + r_in + bottom
 
 
-def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision):
+def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision,
+                     dbuf=None):
     b, r_in, t = x.shape
     assert r_in == geom.r_in, (r_in, geom.r_in)
     assert tile_t % BLOCK_ROWS == 0, "tile_t must be lane-tile aligned"
@@ -726,8 +739,10 @@ def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision):
                  ((0, 0), (top, bottom), (HALO, HALO + pad_t)))
     w_t = tile_t + 2 * HALO
 
+    if dbuf is None:
+        dbuf = _dbuf(dtype)
     # biases stay f32: weight_arrays interleaves (blocks dtype, bias f32)
-    kernel = partial(_level_kernel, geom, dtype, tile_t, t, precision)
+    kernel = partial(_level_kernel, geom, dtype, tile_t, t, precision, dbuf)
 
     out = pl.pallas_call(
         kernel,
@@ -738,9 +753,9 @@ def _pallas_fwd_call(geom, x, weights, dtype, tile_t, interpret, precision):
                                lambda bi, ji: (bi, 0, ji),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, geom.rb_out, n_t * tile_t), dtype),
-        scratch_shapes=[pltpu.VMEM((2, r_slab, w_t) if _dbuf(dtype)
+        scratch_shapes=[pltpu.VMEM((2, r_slab, w_t) if dbuf
                                    else (r_slab, w_t), dtype),
-                        pltpu.SemaphoreType.DMA((2,)) if _dbuf(dtype)
+                        pltpu.SemaphoreType.DMA((2,)) if dbuf
                         else pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -104,13 +104,24 @@ class ConvBlocks:
         return math.ceil(self.r_out / BLOCK_ROWS)
 
 
-def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts):
+def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts,
+                  vjp_einsum=False):
     """Shared builder.
 
     ``kernel_fc[df, dt, ci, co]`` are the weights; ``f_taps(f_loc, df)``
     maps an output frequency (local to a block) and frequency-tap index to
     the absolute input frequency offset (relative to ``f_loc=0``'s window
     start) — returns None when the tap does not apply to this output row.
+
+    ``vjp_einsum`` selects HOW the banded blocks are contracted from the
+    kernel (identical values either way — tested in test_packed_conv):
+    False (inference) uses a static advanced-index gather, True (training)
+    a one-hot einsum. The r5 on-chip bisect (tools/bisect_device_rtf.py,
+    docs/PERFORMANCE.md "device_rtf bisect") measured the einsum form
+    ~30 RTF (≈3%) slower on device-resident transcribe — blocks rebuild
+    under jit on every call — while its autodiff TRANSPOSE is what makes
+    it the right TRAINING form (see the comment below); so each path gets
+    the form that wins there.
     """
     n_f_per_block = BLOCK_ROWS // c_out
     assert BLOCK_ROWS % c_out == 0
@@ -136,32 +147,53 @@ def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts):
     margin_rows += shift
     k = (hi - lo + 1) * c_in + shift
 
-    # Static tap map (geometry only, no weight values): M[df, fl, g] = 1
-    # where a block-local output frequency fl reads window offset g via
-    # frequency tap df (injective — no two taps hit the same (fl, g), so
-    # the contraction below reproduces the banded gather exactly).
-    # Building blocks as a ONE-HOT EINSUM of the kernel keeps the
-    # formulation on-device-under-jit and differentiable like the old
-    # advanced-index gather — but its autodiff TRANSPOSE is another tiny
-    # einsum (dKernel = M · dBlocks) instead of a scatter-add whose
-    # indices repeat n_f_per_block-fold, which XLA:TPU serializes (the
-    # recipe step runs ~150 such block-builder VJPs; the scatter form
-    # accounted for a large share of the backward's non-kernel time).
     n_dt = len(dts)
-    n_g = hi - lo + 1
-    m = np.zeros((n_df, n_f_per_block, n_g), np.float32)
-    for fl in range(n_f_per_block):
-        for df in range(n_df):
-            off = f_taps(fl, df)
-            if off is not None:
-                m[df, fl, off - lo] = 1.0
+    if vjp_einsum:
+        # Static tap map (geometry only, no weight values): M[df, fl, g]=1
+        # where a block-local output frequency fl reads window offset g via
+        # frequency tap df (injective — no two taps hit the same (fl, g),
+        # so the contraction reproduces the banded gather exactly).
+        # Building blocks as a ONE-HOT EINSUM of the kernel keeps the
+        # formulation on-device-under-jit and differentiable like the
+        # advanced-index gather — but its autodiff TRANSPOSE is another
+        # tiny einsum (dKernel = M · dBlocks) instead of a scatter-add
+        # whose indices repeat n_f_per_block-fold, which XLA:TPU
+        # serializes (the recipe step runs ~150 such block-builder VJPs;
+        # the scatter form accounted for a large share of the backward's
+        # non-kernel time).
+        n_g = hi - lo + 1
+        m = np.zeros((n_df, n_f_per_block, n_g), np.float32)
+        for fl in range(n_f_per_block):
+            for df in range(n_df):
+                off = f_taps(fl, df)
+                if off is not None:
+                    m[df, fl, off - lo] = 1.0
 
-    kern = jnp.asarray(kernel_fc)  # (n_df, n_dt, c_in, c_out)
-    b5 = jnp.einsum("afg,adic->dfcgi", jnp.asarray(m), kern,
-                    precision="highest",
-                    preferred_element_type=jnp.float32)
-    core = b5.reshape(n_dt, BLOCK_ROWS, n_g * c_in)
-    blocks = jnp.pad(core, ((0, 0), (0, 0), (shift, 0)))
+        kern = jnp.asarray(kernel_fc)  # (n_df, n_dt, c_in, c_out)
+        b5 = jnp.einsum("afg,adic->dfcgi", jnp.asarray(m), kern,
+                        precision="highest",
+                        preferred_element_type=jnp.float32)
+        core = b5.reshape(n_dt, BLOCK_ROWS, n_g * c_in)
+        blocks = jnp.pad(core, ((0, 0), (0, 0), (shift, 0)))
+    else:
+        # Inference form: gather the kernel at a static index map.
+        idx = np.zeros((4, n_dt, BLOCK_ROWS, k), np.int32)
+        valid = np.zeros((n_dt, BLOCK_ROWS, k), bool)
+        for di in range(n_dt):
+            for fl in range(n_f_per_block):
+                for co in range(c_out):
+                    r = fl * c_out + co
+                    for df in range(n_df):
+                        off = f_taps(fl, df)
+                        if off is None:
+                            continue
+                        base = (off - lo) * c_in + shift
+                        for ci in range(c_in):
+                            idx[:, di, r, base + ci] = (df, di, ci, co)
+                            valid[di, r, base + ci] = True
+        kern = jnp.asarray(kernel_fc)
+        blocks = jnp.where(jnp.asarray(valid),
+                           kern[tuple(jnp.asarray(idx))], 0.0)
 
     bias = jnp.asarray(bias)
     bias_pat = jnp.tile(bias, n_f_per_block)
@@ -169,7 +201,7 @@ def _build_blocks(kernel_fc, bias, f_in, f_out, c_in, c_out, f_taps, dts):
                       col_adv, margin_rows, f_in, f_out, c_in, c_out)
 
 
-def build_conv2d_blocks(kernel, bias, f_in, dilation=1):
+def build_conv2d_blocks(kernel, bias, f_in, dilation=1, vjp_einsum=False):
     """SAME 2D conv, kernel (kh, kw, C_in, C_out) HWIO, dilation on both axes.
 
     Covers the residual-block 3x3/1x1 convs and convin/convout
@@ -185,10 +217,11 @@ def build_conv2d_blocks(kernel, bias, f_in, dilation=1):
 
     kernel_fc = jnp.asarray(kernel, jnp.float32)
     return _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
-                         f_in, f_in, c_in, c_out, f_taps, dts)
+                         f_in, f_in, c_in, c_out, f_taps, dts,
+                         vjp_einsum=vjp_einsum)
 
 
-def build_sconv_blocks(kernel, bias, f_in, stride=2):
+def build_sconv_blocks(kernel, bias, f_in, stride=2, vjp_einsum=False):
     """Frequency-strided VALID down-sampling conv, kernel (2s, 1, C_in, C_out).
 
     Reference ``modules.py:597-655``: ``f_out = (f_in - 2s) // s + 1``.
@@ -203,10 +236,12 @@ def build_sconv_blocks(kernel, bias, f_in, stride=2):
 
     kernel_fc = jnp.asarray(kernel, jnp.float32)
     return _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
-                         f_in, f_out, c_in, c_out, f_taps, (0,))
+                         f_in, f_out, c_in, c_out, f_taps, (0,),
+                         vjp_einsum=vjp_einsum)
 
 
-def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0):
+def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0,
+                       vjp_einsum=False):
     """Torch-semantics transposed conv along frequency, kernel (kh, 1, Ci, Co).
 
     ``f_out = (f_in - 1)*stride + kh + output_padding`` (ops/conv.py,
@@ -227,7 +262,8 @@ def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0):
 
     kernel_fc = jnp.asarray(kernel, jnp.float32)
     blocks = _build_blocks(kernel_fc, jnp.asarray(bias, jnp.float32),
-                           f_in, f_out, c_in, c_out, f_taps, (0,))
+                           f_in, f_out, c_in, c_out, f_taps, (0,),
+                           vjp_einsum=vjp_einsum)
     return blocks
 
 

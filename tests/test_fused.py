@@ -302,3 +302,43 @@ def test_fused_level_train_bf16_close_to_f32():
         np.testing.assert_allclose(np.asarray(l2), ref,
                                    atol=5e-2 * max(1e-3, np.abs(ref).max()),
                                    err_msg=str(path))
+
+
+@pytest.mark.parametrize("variant,skip", [("base", False), ("base", True),
+                                          ("film", False)])
+def test_packed_train_forward_batched_pairs_parity(variant, skip):
+    """The 2B stacked decoder sweeps (batch_pairs=True) reproduce the four
+    separate decode_packed calls exactly — outputs AND gradients — for the
+    indicator, FiLM, and skip-connection configurations. Every decoder
+    level is batch-independent, so stacking [recon|transcription] on the
+    batch axis is pure re-batching (reference modules.py:338-393)."""
+    from timbre_trap_tpu.models.fused import packed_train_forward
+
+    rng = np.random.default_rng(7)
+    f_size = 540
+    net = TimbreTrapNet(feature_size=f_size, latent_size=16,
+                        model_complexity=1, variant=variant,
+                        skip_connections=skip)
+    x = _rand(rng, 2, f_size, 16, net.in_channels)
+    params = net.init(jax.random.PRNGKey(2), x)["params"]
+    w = [_rand(rng, 2, f_size * net.in_channels, 16) for _ in range(4)]
+
+    def loss(params, batch_pairs):
+        outs = packed_train_forward(params, net, x, consistency=True,
+                                    backend="xla", remat=False,
+                                    batch_pairs=batch_pairs)
+        rec, _, trn, trn_rec, trn_scr = outs
+        return sum(jnp.sum(o * wi) for o, wi
+                   in zip((rec, trn, trn_rec, trn_scr), w))
+
+    v_sep, g_sep = jax.value_and_grad(loss)(params, False)
+    v_bat, g_bat = jax.value_and_grad(loss)(params, True)
+    assert float(v_sep) == pytest.approx(float(v_bat), rel=1e-6)
+    flat = dict(jax.tree_util.tree_leaves_with_path(g_sep))
+    for path, lb in jax.tree_util.tree_leaves_with_path(g_bat):
+        ref = np.asarray(flat[path])
+        # The 2B-batch dW contraction reduces in a different order than two
+        # separate B-batch ones — identical math, f32 rounding only.
+        np.testing.assert_allclose(np.asarray(lb), ref, rtol=1e-3,
+                                   atol=1e-5 * max(1.0, np.abs(ref).max()),
+                                   err_msg=str(path))

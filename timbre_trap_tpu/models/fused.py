@@ -172,6 +172,20 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
     return latents
 
 
+def _condition_latents(params, net, latents, transcribe):
+    """Apply the decoder switch (reference modules.py:119-147 / :780-839)."""
+    if net.variant == "film":
+        cond = jnp.asarray([float(transcribe), float(not transcribe)],
+                           jnp.float32)
+        film = params["film_layer"]
+        gamma = film["gamma"]["kernel"].T @ cond + film["gamma"]["bias"]
+        beta = film["beta"]["kernel"].T @ cond + film["beta"]["bias"]
+        return latents * gamma[None, :, None] + beta[None, :, None]
+    indicator = jnp.full((latents.shape[0], 1, latents.shape[2]),
+                         float(not transcribe), latents.dtype)
+    return jnp.concatenate([latents, indicator], axis=1)
+
+
 def decode_packed(params, net, latents, transcribe, backend="pallas",
                   dtype=jnp.float32, precision="default", interpret=False,
                   remat=False, mesh=None, skips=None, tile_t=None):
@@ -183,26 +197,35 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
     mode) — added exactly where the flax decoder adds them (after the
     latent expansion and after each level, ``modules.py:196-207``), with
     convout unfused from level 4 so the final add precedes it.
+
+    ``transcribe`` may be a bool (one branch, batch B) or a tuple of bools
+    (the branches are stacked on the batch axis — ``latents`` arrives
+    pre-tiled at ``len(transcribe) * B`` — and every decoder level runs
+    ONE sweep for all branches; see ``packed_train_forward``'s
+    ``batch_pairs``).
     """
     sizes, paddings = embedding_sizes(net.feature_size)
     dec = params["decoder"]
     _, _, w_dec, b_dec = _latent_matmuls(params, net)
 
-    if net.variant == "film":
-        cond = jnp.asarray([float(transcribe), float(not transcribe)],
-                           jnp.float32)
-        film = params["film_layer"]
-        gamma = film["gamma"]["kernel"].T @ cond + film["gamma"]["bias"]
-        beta = film["beta"]["kernel"].T @ cond + film["beta"]["bias"]
-        latents = latents * gamma[None, :, None] + beta[None, :, None]
+    if isinstance(transcribe, (tuple, list)):
+        n_br = len(transcribe)
+        b_each = latents.shape[0] // n_br
+        latents = jnp.concatenate(
+            [_condition_latents(params, net,
+                                latents[i * b_each:(i + 1) * b_each], tr)
+             for i, tr in enumerate(transcribe)], axis=0)
     else:
-        indicator = jnp.full((latents.shape[0], 1, latents.shape[2]),
-                             float(not transcribe), latents.dtype)
-        latents = jnp.concatenate([latents, indicator], axis=1)
+        latents = _condition_latents(params, net, latents, transcribe)
 
     y = jnp.einsum("ri,bit->brt", w_dec, latents, precision=precision,
                    preferred_element_type=jnp.float32)
     y = jax.nn.elu(y + b_dec[None, :, None]).astype(dtype)
+    if skips is not None and latents.shape[0] != skips[4].shape[0]:
+        # Stacked-branch mode: the skip embeddings are per-sample, shared
+        # by every branch — tile them to the stacked batch.
+        reps = latents.shape[0] // skips[4].shape[0]
+        skips = [jnp.concatenate([s] * reps, axis=0) for s in skips]
     if skips is not None:
         y = (y.astype(jnp.float32) + skips[4].astype(jnp.float32)
              ).astype(dtype)
@@ -269,7 +292,7 @@ def _scale_skips(params, embeddings):
 
 def packed_train_forward(params, net, features, consistency, backend="xla",
                          remat=True, interpret=False, mesh=None,
-                         dtype=jnp.float32, tile_t=None):
+                         dtype=jnp.float32, tile_t=None, batch_pairs=False):
     """Training-mode forward on packed tensors.
 
     Returns (reconstruction, latents, transcription, transcription_rec,
@@ -281,6 +304,20 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
     accumulation — the mixed-precision training mode. ``tile_t`` overrides
     the training kernels' time-tile width (defaults 512 bf16 / 384 f32,
     measured at the reference recipe).
+
+    ``batch_pairs``: the reference's four decoder calls
+    (modules.py:338-393) come in two pairs that share weights, level grids
+    and input latents, differing only in the decoder-switch conditioning —
+    ``True`` runs each pair as ONE 2B-batch decoder sweep (branches
+    stacked on the batch axis), halving decoder kernel dispatches.
+    Per-sample math is identical (every level is batch-independent;
+    parity + gradients tested in test_fused). MEASURED NON-WIN on the
+    real chip (tools/verify_r5.py A/B at the reference recipe,
+    pallas_bf16): stacked 350.2 vs separate 335.4 ms/step, loss delta 0 —
+    the 2B level kernels double each level's HBM slab and re-tiled grids
+    recompile wider, costing more than the saved per-dispatch boundary
+    overhead. Default False (the measured winner); the flag stays for
+    re-measurement on future kernel shapes.
     """
     kw = dict(backend=backend, dtype=dtype, precision="default",
               interpret=interpret, remat=remat, mesh=mesh, tile_t=tile_t)
@@ -294,17 +331,24 @@ def packed_train_forward(params, net, features, consistency, backend="xla",
             return latents, _scale_skips(params, embs)
         return encode_packed(params, net, v, **kw), None
 
+    def decode_pair(latents, skips):
+        """(reconstruction, transcription) via one stacked decoder sweep."""
+        if not batch_pairs:
+            return (decode_packed(params, net, latents, False, skips=skips,
+                                  **kw),
+                    decode_packed(params, net, latents, True, skips=skips,
+                                  **kw))
+        b = latents.shape[0]
+        stacked = decode_packed(params, net,
+                                jnp.concatenate([latents, latents], axis=0),
+                                (False, True), skips=skips, **kw)
+        return stacked[:b], stacked[b:]
+
     latents, skips = enc(x)
-    reconstruction = decode_packed(params, net, latents, False, skips=skips,
-                                   **kw)
-    transcription = decode_packed(params, net, latents, True, skips=skips,
-                                  **kw)
+    reconstruction, transcription = decode_pair(latents, skips)
     if consistency:
         latents_t, skips_t = enc(transcription)
-        trn_rec = decode_packed(params, net, latents_t, False, skips=skips_t,
-                                **kw)
-        trn_scr = decode_packed(params, net, latents_t, True, skips=skips_t,
-                                **kw)
+        trn_rec, trn_scr = decode_pair(latents_t, skips_t)
     else:
         trn_rec, trn_scr = None, None
     return reconstruction, latents, transcription, trn_rec, trn_scr

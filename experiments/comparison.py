@@ -29,8 +29,7 @@ from timbre_trap_tpu.eval.external import (BP_MIDI_FREQS,
                                            ExternalBaselineUnavailable,
                                            load_basic_pitch,
                                            load_deep_salience)
-from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_params
+from timbre_trap_tpu.models import load_model
 from timbre_trap_tpu.transform import CQT
 from timbre_trap_tpu.transform.design import midi_to_hz
 from timbre_trap_tpu.utils import (MultipitchEvaluator, filter_non_peaks,
@@ -120,10 +119,11 @@ def build_estimators(args, cqt):
     estimators = [("lin-CQT", lin_cqt), ("log-CQT", log_cqt)]
 
     if args.checkpoint is not None:
-        model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=9,
-                           bins_per_octave=60, secs_per_block=3,
-                           latent_size=128, model_complexity=2)
-        model.params = load_params(args.checkpoint)
+        model = load_model(
+            args.checkpoint,
+            defaults=dict(sample_rate=args.sample_rate, n_octaves=9,
+                          bins_per_octave=60, secs_per_block=3,
+                          latent_size=128, model_complexity=2))
 
         def timbre_trap(data, eval_set):
             audio = np.asarray(model.sliCQ.pad_to_block_length(

@@ -13,8 +13,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from timbre_trap_tpu.eval.evaluation import evaluate  # noqa: F401 (re-export)
-from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_params
+from timbre_trap_tpu.models import load_model
 from timbre_trap_tpu.utils import print_and_log
 
 
@@ -28,13 +27,21 @@ def main():
     p.add_argument("--bins-per-octave", type=int, default=60)
     p.add_argument("--latent-size", type=int, default=128)
     p.add_argument("--model-complexity", type=int, default=2)
+    p.add_argument("--skip-connections", action="store_true", default=None,
+                   help="override for legacy checkpoints without "
+                        "hparams.json (hparams-carrying checkpoints "
+                        "rebuild their trained configuration themselves)")
+    p.add_argument("--variant", default=None,
+                   choices=["base", "film", "mag", "magdb"],
+                   help="override for legacy checkpoints (see above)")
     p.add_argument("--base-dirs", nargs="*", default=None,
                    help="base dir per dataset, aligned with --datasets")
-    p.add_argument("--compat", default="native",
+    p.add_argument("--compat", default=None,
                    choices=["native", "cqt_pytorch"],
                    help="transform frame; 'cqt_pytorch' evaluates weights "
                         "trained on the reference frame (released-weights "
-                        "eval without going through parity.py)")
+                        "eval without going through parity.py). Default: "
+                        "the checkpoint's trained frame (else native)")
     p.add_argument("--tables", default=None,
                    help=".npz of measured cqt_pytorch tables "
                         "(tools/calibrate_cqt_compat.py); default: analytic "
@@ -47,12 +54,16 @@ def main():
         from timbre_trap_tpu.transform import load_tables
         tables = load_tables(args.tables)
 
-    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
-                       bins_per_octave=args.bins_per_octave, secs_per_block=3,
-                       latent_size=args.latent_size,
-                       model_complexity=args.model_complexity,
-                       transform_compat=args.compat, compat_tables=tables)
-    model.params = load_params(args.checkpoint)
+    model = load_model(
+        args.checkpoint,
+        overrides=dict(transform_compat=args.compat, compat_tables=tables,
+                       skip_connections=args.skip_connections,
+                       variant=args.variant),
+        defaults=dict(sample_rate=args.sample_rate,
+                      n_octaves=args.n_octaves,
+                      bins_per_octave=args.bins_per_octave, secs_per_block=3,
+                      latent_size=args.latent_size,
+                      model_complexity=args.model_complexity))
 
     from timbre_trap_tpu.data.datasets.MixedMultiPitch import (
         URMP as URMP_Mixtures, Bach10 as Bach10_Mixtures, Su, TRIOS)

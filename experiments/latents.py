@@ -14,8 +14,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from timbre_trap_tpu.data import constants
-from timbre_trap_tpu.models import TimbreTrap
-from timbre_trap_tpu.train import load_params
+from timbre_trap_tpu.models import load_model
 from timbre_trap_tpu.utils import to_array
 from timbre_trap_tpu.utils.visualization import plot_latents
 
@@ -34,11 +33,13 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    model = TimbreTrap(sample_rate=args.sample_rate, n_octaves=args.n_octaves,
-                       bins_per_octave=args.bins_per_octave, secs_per_block=3,
-                       latent_size=args.latent_size,
-                       model_complexity=args.model_complexity)
-    model.params = load_params(args.checkpoint)
+    model = load_model(
+        args.checkpoint,
+        defaults=dict(sample_rate=args.sample_rate,
+                      n_octaves=args.n_octaves,
+                      bins_per_octave=args.bins_per_octave, secs_per_block=3,
+                      latent_size=args.latent_size,
+                      model_complexity=args.model_complexity))
 
     from timbre_trap_tpu.data.datasets.SoloMultiPitch import Bach10
 

@@ -86,3 +86,31 @@ def test_latents_cli(flagship_ckpt, toy_bach10, tmp_path):
                                   "--model-complexity", "1"])
     assert out.returncode == 0, out.stderr[-2000:]
     assert os.path.getsize(out_pdf) > 1000
+
+
+def test_sonify_cli_rebuilds_skip_config(toy_bach10, tmp_path):
+    """sonify.py consumes a Trainer-layout checkpoint of a skip-connections
+    run with NO model flags: the run-level hparams.json alone rebuilds the
+    trained configuration (VERDICT r4 #5; models.load_model)."""
+    import json
+
+    from timbre_trap_tpu.models import TimbreTrap
+    from timbre_trap_tpu.train import save_checkpoint
+
+    model = TimbreTrap(sample_rate=22050, n_octaves=6, bins_per_octave=12,
+                       secs_per_block=3, latent_size=32, model_complexity=1,
+                       skip_connections=True)
+    models_dir = tmp_path / "run" / "models"
+    models_dir.mkdir(parents=True)
+    with open(models_dir / "hparams.json", "w") as fh:
+        json.dump(model.hparams, fh)
+    ckpt = str(models_dir / "model-1")
+    save_checkpoint(ckpt, model.params, step=1)
+
+    out_dir = str(tmp_path / "sonified")
+    out = _run_cli("sonify.py", ["--checkpoint", ckpt,
+                                 "--bach10-dir", toy_bach10,
+                                 "--output-dir", out_dir])
+    assert out.returncode == 0, out.stderr[-2000:]
+    files = sorted(os.listdir(out_dir))
+    assert [f[-8:] for f in files] == ["_rec.wav", "_ref.wav", "_scr.wav"]

@@ -7,7 +7,8 @@ from .modules import (
     FiLM,
     TimbreTrapNet,
 )
-from .timbre_trap import TimbreTrap, TimbreTrapFiLM, TimbreTrapMag, TimbreTrapMagDB
+from .timbre_trap import (TimbreTrap, TimbreTrapFiLM, TimbreTrapMag,
+                          TimbreTrapMagDB, load_model)
 
 __all__ = [
     "ResidualConv2dBlock",
@@ -21,4 +22,5 @@ __all__ = [
     "TimbreTrapFiLM",
     "TimbreTrapMag",
     "TimbreTrapMagDB",
+    "load_model",
 ]

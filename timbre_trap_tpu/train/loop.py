@@ -440,6 +440,16 @@ class Trainer:
     def _checkpoint_and_validate(self, epoch, n_ckpt_elapsed):
         c = self.config
         self.model.params = self.params  # sync inference paths
+        # Make every run's checkpoints self-describing: downstream CLIs
+        # (evaluate/comparison/sonify/latents) rebuild the exact trained
+        # configuration — variant, skip_connections, transform — via
+        # models.load_model, which reads this run-level hparams.json
+        # (the capability the reference gets from whole-module
+        # torch.save, train.py:506-511).
+        hparams_path = os.path.join(self.log_dir, "hparams.json")
+        if not os.path.isfile(hparams_path):
+            with open(hparams_path, "w") as fh:
+                json.dump(self.model.hparams, fh, indent=2)
         ckpt_path = os.path.join(self.log_dir, f"model-{self.batch_count}")
         save_checkpoint(ckpt_path, self.params, self.opt_state,
                         self.batch_count)

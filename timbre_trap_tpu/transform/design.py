@@ -284,7 +284,33 @@ def design_cqt_pytorch(sample_rate, n_octaves, bins_per_octave, block_length,
     ``cqt_pytorch`` install; when given they override the analytic window
     construction entirely, making the compat mode bit-faithful to whatever
     the installed package actually computes.
+
+    ``tables`` may additionally carry SYNTHESIS-convention keys — the
+    decode-path guesses the analytic rebuild had to make for the package's
+    ``icqt`` (``cqtwrapper.py:184-213``), each a knob so calibration (or
+    the sensitivity study, ``tools/frame_sensitivity.py --synthesis``) can
+    pin/perturb them independently of the analysis windows:
+
+    * ``"dual"``: ``"canonical"`` (default; ``conj(w)/S``, ``S = Σ|w|²``),
+      ``"transpose"`` (plain ``conj(w)`` overlap-add, no normalization),
+      ``"amplitude"`` (``conj(w)/S₁``, ``S₁ = Σ|w|`` — linear- instead of
+      power-complementary normalization).
+    * ``"uncovered"``: ``"zero"`` (default; spectrum bins no window covers
+      reconstruct as 0) or ``"passthrough"`` (no coverage mask).
+    * ``"coeff_scale"``: ``"ifft_M"`` (default; every bin's crop is
+      IFFT'd at the common length M) or ``"per_bin_len"`` (the package
+      normalizes each bin's ifft by its own window length — synthesis
+      then carries a per-bin gain ``len_k/M`` relative to the default).
     """
+    conventions = {} if tables is None else dict(tables)
+    dual_mode = conventions.pop("dual", "canonical")
+    uncovered_mode = conventions.pop("uncovered", "zero")
+    coeff_scale = conventions.pop("coeff_scale", "ifft_M")
+    assert dual_mode in ("canonical", "transpose", "amplitude")
+    assert uncovered_mode in ("zero", "passthrough")
+    assert coeff_scale in ("ifft_M", "per_bin_len")
+    tables = conventions or None
+
     n_bins = n_octaves * bins_per_octave
     nyquist = sample_rate / 2.0
     if block_length % 2 != 0:
@@ -334,11 +360,14 @@ def design_cqt_pytorch(sample_rate, n_octaves, bins_per_octave, block_length,
 
     # Coverage S(f) = sum_k |w_k(f)|^2 on the integer grid; canonical dual.
     S = np.zeros(n_rfft, dtype=np.float64)
+    S1 = np.zeros(n_rfft, dtype=np.float64)
     for k in range(n_bins):
         f = np.arange(starts[k], starts[k] + lengths[k])
         S[f] += np.square(np.abs(windows[k]))
+        S1[f] += np.abs(windows[k])
     covered = S > 1e-6 * max(float(S.max()), 1e-300)
     S_safe = np.where(covered, S, 1.0)
+    S1_safe = np.where(covered, S1, 1.0)
 
     # Analysis band tables — same aligned contiguous-slice machinery as the
     # exact design; the crop-start demodulation goes into the phase ramp.
@@ -361,7 +390,16 @@ def design_cqt_pytorch(sample_rate, n_octaves, bins_per_octave, block_length,
         f = np.arange(starts[k], starts[k] + lengths[k])
         off = f - band_lo[k]
         w = windows[k]
-        d = np.where(covered[f], np.conj(w) / S_safe[f], 0.0)
+        if dual_mode == "canonical":
+            d = np.conj(w) / S_safe[f]
+        elif dual_mode == "amplitude":
+            d = np.conj(w) / S1_safe[f]
+        else:  # transpose
+            d = np.conj(w)
+        if uncovered_mode == "zero":
+            d = np.where(covered[f], d, 0.0)
+        if coeff_scale == "per_bin_len":
+            d = d * (lengths[k] / float(M))
         band_win[k, off] = w
         band_dual[k, off] = d
         nz = w != 0.0

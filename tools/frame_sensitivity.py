@@ -82,6 +82,12 @@ def main():
     p.add_argument("--small", action="store_true",
                    help="CPU-sized geometry (8 kHz, 5 oct x 12) instead of "
                         "the flagship 22.05 kHz 9x60")
+    p.add_argument("--synthesis", action="store_true",
+                   help="perturb DECODE-path conventions (dual "
+                        "normalization, uncovered bins, coefficient scale) "
+                        "instead of analysis windows — the reconstruction-"
+                        "SDR counterpart of the analysis study "
+                        "(VERDICT r4 #6)")
     args = p.parse_args()
 
     import jax
@@ -145,7 +151,25 @@ def main():
     assert np.isfinite(loss)
 
     # ---- 2. evaluate the SAME weights on perturbed frames --------------- #
-    variants = [
+    if args.synthesis:
+        # Decode-path conventions (VERDICT r4 #6; design_cqt_pytorch's
+        # synthesis-convention keys — reference cqtwrapper.py:184-213).
+        # Analysis is IDENTICAL across these variants, so transcription F1
+        # cannot move (asserted below): the deltas isolate reconstruction.
+        variants = [
+            ("baseline (canonical dual, zero uncovered)", "cqt_pytorch",
+             None),
+            ("transpose dual (no 1/S)", "cqt_pytorch",
+             {"dual": "transpose"}),
+            ("amplitude-normalized dual (1/Σ|w|)", "cqt_pytorch",
+             {"dual": "amplitude"}),
+            ("uncovered-bin passthrough", "cqt_pytorch",
+             {"uncovered": "passthrough"}),
+            ("per-bin ifft scale (len_k/M)", "cqt_pytorch",
+             {"coeff_scale": "per_bin_len"}),
+        ]
+    else:
+        variants = [
         ("baseline (round starts, periodic Hann)", "cqt_pytorch", None),
         ("floor crop starts", "cqt_pytorch",
          analytic_tables(hp["sample_rate"], hp["n_octaves"],
@@ -170,13 +194,22 @@ def main():
         model.sliCQ.get_expected_frames(audio.shape[-1]))
     valid_mask = np.asarray(midi_to_hz(model.sliCQ.midi_freqs)) > MAX_FREQ
 
-    print(f"{'frame variant':>42} {'mpe F1':>8} {'SDR dB':>8}")
+    print(f"{'frame variant':>42} {'mpe F1':>8} {'SDR dB':>8} "
+          f"{'frame SDR':>9}")
     rows = []
+    baseline_f1 = None
     for name, compat, tables in variants:
         m = TimbreTrap(transform_compat=compat, compat_tables=tables, **hp)
         assert m.sliCQ.max_window_length == model.sliCQ.max_window_length, \
             f"{name}: frame geometry changed; weights not comparable"
         m.params = params
+
+        # Pure-frame round trip (no model): the decode convention's own
+        # error floor on this audio.
+        rt = np.asarray(m.sliCQ.decode(m.sliCQ.encode(audio_d)))
+        frame_sdr = float(np.mean(
+            [signal_distortion_ratio(rt[i, 0, :audio.shape[-1]], audio[i, 0])
+             for i in range(args.n_tracks)]))
 
         acts = m.transcribe(audio_d)
         acts = jnp.where(jnp.asarray(valid_mask)[None, :, None], 0.0, acts)
@@ -195,14 +228,21 @@ def main():
                                               audio[i, 0]))
                 for i in range(args.n_tracks)]
         sdr = float(np.mean(sdrs))
-        rows.append((name, f1, sdr))
-        print(f"{name:>42} {f1:>8.4f} {sdr:>8.2f}")
+        rows.append((name, f1, sdr, frame_sdr))
+        print(f"{name:>42} {f1:>8.4f} {sdr:>8.2f} {frame_sdr:>9.2f}")
+        if args.synthesis:
+            # Analysis identical across synthesis variants -> F1 must not
+            # move (decode is not in the transcription path).
+            if baseline_f1 is None:
+                baseline_f1 = f1
+            assert abs(f1 - baseline_f1) < 1e-9, (name, f1, baseline_f1)
 
     print("\n# markdown (docs/PARITY.md):")
-    print("| frame variant | mpe F1 | reconstruction SDR (dB) |")
-    print("|---|---|---|")
-    for name, f1, sdr in rows:
-        print(f"| {name} | {f1:.4f} | {sdr:.2f} |")
+    print("| frame variant | mpe F1 | reconstruction SDR (dB) "
+          "| pure-frame SDR (dB) |")
+    print("|---|---|---|---|")
+    for name, f1, sdr, frame_sdr in rows:
+        print(f"| {name} | {f1:.4f} | {sdr:.2f} | {frame_sdr:.2f} |")
 
 
 if __name__ == "__main__":

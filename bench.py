@@ -33,6 +33,18 @@ never a redefinition):
                       so it is also the longitudinal bridge to old rounds.
 (r1–r3 ``mpe_f1``/``mpe_f1_consistency`` ran other backends; compare those
 keys across r4+ only, and use mpe_f1_f32 to bridge back.)
+
+ATTRIBUTION of the r3->r4 mpe_f1_f32 slip (0.99373 -> 0.98594; measured
+r5, tools/attr_quality_slip.py on-chip, both block-builder forms x seeds
+0-2): flipping the builder back to r3's gather does NOT reproduce r3's
+number (gather/seed0 = 0.94445 under HEAD's other backward levers), and
+the probe's cross-seed spread (einsum 0.792-0.986, gather 0.932-0.944)
+is 10-25x the 0.0078 slip. The slip is benign trajectory divergence of
+an aggressive 120-step/2e-3 probe, not a numerics deficit; the probe's
+regression value is its DETERMINISM at fixed code+seed (it catches code
+changes, not quality levels). Quality levels are tracked by the
+reference-lr probes (mpe_f1_consistency: 0.99725 -> 0.99485, within its
+own seed noise).
 """
 
 import json

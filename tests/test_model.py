@@ -180,6 +180,27 @@ def test_model_save_load(tiny_model, tmp_path, rng):
     np.testing.assert_array_equal(a1, a2)
 
 
+def test_load_model_rebuilds_every_variant(tmp_path, rng):
+    """models.load_model reconstructs the RIGHT class from a model.save
+    directory for all four families — configuration travels as
+    hparams.json (the capability the reference gets from whole-module
+    torch.save, train.py:506-511)."""
+    from timbre_trap_tpu.models import (TimbreTrap, TimbreTrapFiLM,
+                                        TimbreTrapMag, TimbreTrapMagDB,
+                                        load_model)
+
+    hp = dict(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+              secs_per_block=0.5, latent_size=32, model_complexity=1)
+    for cls in (TimbreTrap, TimbreTrapFiLM, TimbreTrapMag, TimbreTrapMagDB):
+        m = cls(**hp)
+        path = m.save(str(tmp_path / cls.__name__))
+        m2 = load_model(path)
+        assert type(m2) is cls
+        assert m2.hparams == m.hparams
+        chex = jax.tree_util.tree_structure(m.params)
+        assert jax.tree_util.tree_structure(m2.params) == chex
+
+
 def test_remat_matches_plain(rng):
     """remat=True must be numerically identical to remat=False."""
     F, T = 60, 16

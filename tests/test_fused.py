@@ -77,6 +77,46 @@ def test_fused_level_convin_fusion():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_fused_mega_spec_matches_per_level():
+    """fuse_level_specs: one whole-encoder kernel == the 4-level chain.
+
+    The fused spec is the r5 inference path (models/fused.py routes
+    backend=="pallas" through it); parity is vs applying the same specs
+    level by level, both in interpret mode, both dtypes.
+    """
+    from timbre_trap_tpu.ops.fused_level import (fuse_level_specs,
+                                                 spec_time_reach, HALO)
+
+    rng = np.random.default_rng(7)
+    f = 540
+    net = TimbreTrapNet(feature_size=f, latent_size=32, model_complexity=1)
+    x = _rand(rng, 1, f, 24, net.in_channels)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    enc = params["encoder"]
+    from timbre_trap_tpu.models.modules import embedding_sizes
+    sizes, _ = embedding_sizes(f)
+    specs, fi = [], f
+    for i in range(4):
+        specs.append(encoder_level_spec(
+            enc[f"block{i + 1}"], fi,
+            convin_params=enc["convin"] if i == 0 else None))
+        fi = sizes[i]
+    mega = fuse_level_specs(specs)
+    assert spec_time_reach(mega) <= HALO
+    for dtype in (jnp.float32, jnp.bfloat16):
+        xp = pack_nhwc(x)
+        ref = xp
+        for s in specs:
+            ref = fused_level_apply(ref, s, dtype=dtype, tile_t=128,
+                                    interpret=True)
+        got = fused_level_apply(xp, mega, dtype=dtype, tile_t=128,
+                                interpret=True)
+        tol = dict(atol=5e-6, rtol=1e-5) if dtype == jnp.float32 \
+            else dict(atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), **tol)
+
+
 @pytest.mark.parametrize("variant,transcribe", [
     ("base", True), ("base", False), ("film", True), ("magdb", True)])
 def test_fused_forward_matches_net(variant, transcribe):

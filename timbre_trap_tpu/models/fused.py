@@ -34,13 +34,21 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused_level import (decoder_level_spec, encoder_level_spec,
-                               fused_level_apply, make_fused_level_train,
+                               fuse_level_specs, fused_level_apply,
+                               make_fused_level_train,
                                packed_level_apply_xla)
 from ..ops.packed_conv import pack_nhwc
 from .modules import embedding_sizes
 
 __all__ = ["fused_forward", "fused_supported", "packed_train_forward",
            "packed_to_nchw"]
+
+# r5: inference encoder/decoder each run as ONE whole-stack Pallas kernel
+# (fuse_level_specs) instead of 4 per-level calls — no intermediate level
+# boundary touches HBM. Module-level so tools/mega_fusion_ab.py can A/B it;
+# measured on-chip before shipping (docs/PERFORMANCE.md "whole-stack
+# fusion").
+FUSE_INFERENCE_LEVELS = True
 
 
 def fused_supported(net):
@@ -151,17 +159,29 @@ def encode_packed(params, net, x, backend="pallas", dtype=jnp.float32,
         x = _apply_level(x, spec_in, backend, dtype, interpret, remat,
                          mesh, tile_t)
         embeddings.append(x)
+    specs = []
     for i in range(4):
-        spec = encoder_level_spec(
+        specs.append(encoder_level_spec(
             enc[f"block{i + 1}"], f,
             convin_params=(enc["convin"]
                            if i == 0 and not with_embeddings else None),
-            with_adjoints=adj)
-        x = _apply_level(x, spec, backend, dtype, interpret, remat,
-                         mesh, tile_t)
-        if with_embeddings:
-            embeddings.append(x)
+            with_adjoints=adj))
         f = sizes[i]
+    if backend == "pallas" and not with_embeddings and FUSE_INFERENCE_LEVELS:
+        # Inference: ONE whole-encoder kernel — no level boundaries touch
+        # HBM (ops/fused_level.fuse_level_specs; r5, measured on-chip).
+        # Skip mode keeps per-level calls: the embeddings ARE the
+        # boundaries. Training keeps per-level custom-VJP kernels: the
+        # backward stashes every item's input slab in VMEM, which only
+        # fits at per-level granularity.
+        x = _apply_level(x, fuse_level_specs(specs), backend, dtype,
+                         interpret, remat, mesh, tile_t)
+    else:
+        for spec in specs:
+            x = _apply_level(x, spec, backend, dtype, interpret, remat,
+                             mesh, tile_t)
+            if with_embeddings:
+                embeddings.append(x)
     w_lat, b_lat, _, _ = _latent_matmuls(params, net)
     latents = jnp.einsum("rl,brt->blt", w_lat, x.astype(jnp.float32),
                          precision=precision,
@@ -232,18 +252,26 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
 
     f = sizes[-1]
     adj = backend == "pallas_train"
+    specs = []
     for i in range(4):
-        spec = decoder_level_spec(
+        specs.append(decoder_level_spec(
             dec[f"block{i + 1}"], f, output_padding=paddings[i],
             convout_params=(dec["convout"]
                             if i == 3 and skips is None else None),
-            with_adjoints=adj)
-        y = _apply_level(y, spec, backend, dtype, interpret, remat,
-                         mesh, tile_t)
-        f = spec.items[0][1].f_out
-        if skips is not None:
-            y = (y.astype(jnp.float32) + skips[3 - i].astype(jnp.float32)
-                 ).astype(dtype)
+            with_adjoints=adj))
+        f = specs[-1].items[0][1].f_out
+    if backend == "pallas" and skips is None and FUSE_INFERENCE_LEVELS:
+        # Inference: ONE whole-decoder kernel (see encode_packed; skip
+        # mode needs the per-level boundaries for its adds).
+        y = _apply_level(y, fuse_level_specs(specs), backend, dtype,
+                         interpret, remat, mesh, tile_t)
+    else:
+        for i, spec in enumerate(specs):
+            y = _apply_level(y, spec, backend, dtype, interpret, remat,
+                             mesh, tile_t)
+            if skips is not None:
+                y = (y.astype(jnp.float32) + skips[3 - i].astype(jnp.float32)
+                     ).astype(dtype)
     if skips is not None:
         spec_out = _conv2d_level_spec(dec["convout"], f, act=False,
                                       with_adjoints=adj)

@@ -32,7 +32,7 @@ from .packed_conv import (BLOCK_ROWS, ConvBlocks, build_conv2d_blocks,
                           build_sconv_blocks, build_tconv_blocks)
 
 __all__ = ["LevelSpec", "encoder_level_spec", "decoder_level_spec",
-           "fused_level_apply", "packed_level_apply_xla",
+           "fuse_level_specs", "fused_level_apply", "packed_level_apply_xla",
            "make_fused_level_train", "default_tile_t",
            "default_train_tile_t"]
 
@@ -279,6 +279,49 @@ def decoder_level_spec(block_params, f_in, output_padding=0,
             _attach_conv2d_adjoint(cb, convout_params["kernel"], f_mid, 1)
         items.append(("conv", cb, False))
     return LevelSpec(items, cb_t.r_in)
+
+
+def spec_time_reach(spec: "LevelSpec"):
+    """Worst-case columns/side a spec's chained stages read beyond a tile.
+
+    Chained SAME convs compound their time taps: stage i's output at column
+    c depends on its input at columns c±max|dt|, so the total halo a spec
+    needs is the SUM of each conv's max tap magnitude (rb items chain two
+    convs). The per-level specs reach <= 7; the flagship whole-encoder /
+    whole-decoder fused specs reach 25 each (measured at construction).
+    """
+    return sum(max(abs(d) for d in cb.dts)
+               for it in spec.items for cb in it[1:]
+               if isinstance(cb, (ConvBlocks, ConvGeom)))
+
+
+def fuse_level_specs(specs):
+    """Concatenate adjacent LevelSpecs into ONE fused kernel spec.
+
+    All levels share the time axis (the model only ever downsamples
+    frequency — reference ``modules.py:597-718`` strides the F axis), so a
+    sequence of levels is itself a valid item chain: the kernel body
+    (``_level_kernel``) is generic over items and re-slabs between stages
+    in VMEM. Fusing the 4 encoder (or decoder) levels into one
+    ``pallas_call`` removes the HBM write+read of every intermediate level
+    boundary (~2.1k packed rows x T each) and 3/4 of the level kernel
+    dispatches — the per-op boundary tax that motivated fused levels in
+    the first place (module docstring).
+
+    Valid only while the chained specs' cumulative time reach fits the DMA
+    halo; asserted here (the flagship geometry reaches 25 of the 64-column
+    HALO per side). Row chaining (r_out == next r_in) is asserted by the
+    LevelSpec constructor.
+    """
+    items = []
+    for s in specs:
+        items.extend(s.items)
+    fused = LevelSpec(items, specs[0].r_in)
+    reach = spec_time_reach(fused)
+    assert reach <= HALO, (
+        f"fused spec time reach {reach} exceeds the {HALO}-column DMA halo; "
+        f"fuse fewer levels")
+    return fused
 
 
 # --------------------------------------------------------------------- #

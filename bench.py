@@ -112,26 +112,37 @@ def main():
     up_elapsed = _time(lambda: float(jnp.sum(jax.device_put(audio))))
     upload_mbps = audio.nbytes / up_elapsed / 1e6
 
+    # The sections below each compile a DISTINCT program (input avals
+    # differ); on a warm persistent cache each runs in seconds, but a cold
+    # cache pays the fused-kernel Mosaic compile per program (minutes-scale,
+    # docs/PERFORMANCE.md "whole-stack fusion") — so every non-headline
+    # section is budget-gated (its key goes null) to guarantee the one JSON
+    # line prints within the driver's patience.
+    device_rtf = int16_rtf = f16_rtf = None
+
     # Device-resident input: isolates compute from the host->device upload.
-    audio_dev = jax.device_put(jnp.asarray(audio))
-    float(jnp.sum(audio_dev))
-    dev_elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio_dev))))
-    device_rtf = seconds / dev_elapsed
+    if budget_allows("device_rtf", reserve_s=300):
+        audio_dev = jax.device_put(jnp.asarray(audio))
+        float(jnp.sum(audio_dev))
+        dev_elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio_dev))))
+        device_rtf = round(seconds / dev_elapsed, 2)
 
     # PCM16 ingestion (the native format of WAV/MP3 sources): halves the
     # host->device bytes on tunneled runtimes; dequantized on device
     # (models/timbre_trap.py:features_from_audio). The f32 headline above
     # stays the honest general-input number.
-    pcm = (audio * 32767 / np.abs(audio).max()).astype(np.int16)
-    i16_elapsed = _time(lambda: float(jnp.sum(model.transcribe(pcm))))
-    int16_rtf = seconds / i16_elapsed
+    if budget_allows("int16_rtf", reserve_s=300):
+        pcm = (audio * 32767 / np.abs(audio).max()).astype(np.int16)
+        i16_elapsed = _time(lambda: float(jnp.sum(model.transcribe(pcm))))
+        int16_rtf = round(seconds / i16_elapsed, 2)
 
     # float16 ingestion: the same half-byte upload with no quantization
     # contract (cast to f32 on device). F1-neutral by construction for
     # [-1,1] audio (f16 relative error ~6e-4 << the audio noise floor).
-    f16_elapsed = _time(
-        lambda: float(jnp.sum(model.transcribe(audio.astype(np.float16)))))
-    f16_rtf = seconds / f16_elapsed
+    if budget_allows("f16_rtf", reserve_s=300):
+        f16_elapsed = _time(
+            lambda: float(jnp.sum(model.transcribe(audio.astype(np.float16)))))
+        f16_rtf = round(seconds / f16_elapsed, 2)
 
     # Transform round trip (BASELINE.md: CQT fwd+inv frames/sec).
     cqt = model.sliCQ
@@ -234,9 +245,9 @@ def main():
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(rtf, 2),
-        "device_rtf": round(device_rtf, 2),
-        "int16_rtf": round(int16_rtf, 2),
-        "f16_rtf": round(f16_rtf, 2),
+        "device_rtf": device_rtf,
+        "int16_rtf": int16_rtf,
+        "f16_rtf": f16_rtf,
         "upload_MBps": round(upload_mbps, 1),
         "cqt_fwd_inv_frames_per_sec": round(frames_per_sec, 1),
         "train_step_ms": train_step_ms,

@@ -6,8 +6,8 @@ import jax
 import jax.numpy as jnp
 
 from timbre_trap_tpu.ops.packed_conv import (
-    build_conv2d_blocks, build_sconv_blocks, build_tconv_blocks,
-    pack_nhwc, unpack_to_nhwc, packed_conv_reference)
+    build_conv2d_blocks, build_dense_blocks, build_sconv_blocks,
+    build_tconv_blocks, pack_nhwc, unpack_to_nhwc, packed_conv_reference)
 
 # The five flagship level geometries (C, F) plus the convin/convout cases.
 LEVELS = [(4, 540), (8, 269), (16, 133), (32, 65), (64, 31)]
@@ -145,3 +145,20 @@ def test_builder_forms_identical_blocks():
         np.testing.assert_allclose(np.asarray(g.blocks),
                                    np.asarray(s.blocks), atol=1e-7)
         np.testing.assert_allclose(np.asarray(g.bias), np.asarray(s.bias))
+
+
+def test_dense_blocks_match_matmul():
+    """build_dense_blocks (the latent-bridge per-block form that folds the
+    inference matmuls into the fused kernel, models/fused.py) executes as
+    exactly y = W @ x + b under packed_conv_reference, for shapes on and
+    off the 16/128 alignment boundaries."""
+    rng = np.random.default_rng(7)
+    for r_out, r_in in [(128, 128), (270, 129), (64, 16), (133, 37)]:
+        w = _rand(rng, r_out, r_in)
+        b = _rand(rng, r_out)
+        x = _rand(rng, 2, r_in, 11)  # packed (B, R_in, T)
+        cb = build_dense_blocks(w, b)
+        assert cb.per_block and cb.r_in == r_in and cb.r_out == r_out
+        got = np.asarray(packed_conv_reference(jnp.asarray(x), cb))
+        ref = np.einsum("oi,bit->bot", w, x) + b[None, :, None]
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)

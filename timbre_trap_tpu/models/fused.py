@@ -28,27 +28,41 @@ fused into the first/last level, and the scaled encoder embeddings are
 added between level calls in plain jnp (differentiable, mesh-shardable).
 """
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.fused_level import (decoder_level_spec, encoder_level_spec,
-                               fuse_level_specs, fused_level_apply,
-                               make_fused_level_train,
+from ..ops.fused_level import (LevelSpec, decoder_level_spec,
+                               encoder_level_spec, fuse_level_specs,
+                               fused_level_apply, make_fused_level_train,
                                packed_level_apply_xla)
-from ..ops.packed_conv import pack_nhwc
+from ..ops.packed_conv import build_dense_blocks, pack_nhwc
 from .modules import embedding_sizes
 
 __all__ = ["fused_forward", "fused_supported", "packed_train_forward",
            "packed_to_nchw"]
 
-# r5: inference encoder/decoder each run as ONE whole-stack Pallas kernel
-# (fuse_level_specs) instead of 4 per-level calls — no intermediate level
-# boundary touches HBM. Module-level so tools/mega_fusion_ab.py can A/B it;
-# measured on-chip before shipping (docs/PERFORMANCE.md "whole-stack
-# fusion").
-FUSE_INFERENCE_LEVELS = True
+# r5: inference level fusion (docs/PERFORMANCE.md "whole-stack fusion").
+#   "full"  — fused_forward runs the ENTIRE forward as ONE Pallas kernel:
+#             encoder levels + convlat + (conditioning-folded) decoder
+#             expansion + decoder levels chain as one item list; only the
+#             packed input and output touch HBM. The decoder switch is a
+#             constant per branch, so it folds into the dense expansion's
+#             weights/bias (indicator column -> bias; FiLM -> column
+#             scales + bias) — exact in real math.
+#   True    — one whole-encoder + one whole-decoder kernel (also what the
+#             standalone encode/decode APIs use under "full").
+#   False   — per-level kernels (the r4 path).
+# Module-level so tools/mega_fusion_ab.py can A/B the settings; the
+# TT_TPU_FUSE env var ("full"/"stack"/"per-level") overrides the default
+# at import time — the escape hatch when the one-time full-kernel Mosaic
+# compile (docs/PERFORMANCE.md "whole-stack fusion") is unwanted, e.g.
+# cold-cache one-shot runs.
+FUSE_INFERENCE_LEVELS = {"full": "full", "stack": True,
+                         "per-level": False}[
+    os.environ.get("TT_TPU_FUSE", "full")]
 
 
 def fused_supported(net):
@@ -286,6 +300,55 @@ def decode_packed(params, net, latents, transcribe, backend="pallas",
     return y
 
 
+def _inference_specs(params, net):
+    """(encoder specs, decoder specs) for the no-skip inference path."""
+    sizes, paddings = embedding_sizes(net.feature_size)
+    enc, dec = params["encoder"], params["decoder"]
+    especs, f = [], net.feature_size
+    for i in range(4):
+        especs.append(encoder_level_spec(
+            enc[f"block{i + 1}"], f,
+            convin_params=enc["convin"] if i == 0 else None))
+        f = sizes[i]
+    dspecs, f = [], sizes[-1]
+    for i in range(4):
+        dspecs.append(decoder_level_spec(
+            dec[f"block{i + 1}"], f, output_padding=paddings[i],
+            convout_params=dec["convout"] if i == 3 else None))
+        f = dspecs[-1].items[0][1].f_out
+    return especs, dspecs
+
+
+def _latent_bridge_spec(params, net, transcribe):
+    """convlat + conditioned decoder expansion as two dense kernel items.
+
+    The decoder switch is CONSTANT per inference branch, so it folds into
+    the dense expansion (reference ``modules.py:119-147``): the indicator
+    channel (a constant row v = float(not transcribe) concatenated after
+    the latents) contributes ``v * W[:, -1]`` to the bias; FiLM
+    (``modules.py:780-839``) is affine on the latents, so
+    ``W (gamma x + beta) + b == (W*gamma) x + (W beta + b)``. Exact in
+    real math — only f32 rounding reassociates.
+    """
+    w_lat, b_lat, w_dec, b_dec = _latent_matmuls(params, net)
+    cb_lat = build_dense_blocks(w_lat.T, b_lat)
+    if net.variant == "film":
+        cond = jnp.asarray([float(transcribe), float(not transcribe)],
+                           jnp.float32)
+        film = params["film_layer"]
+        gamma = film["gamma"]["kernel"].T @ cond + film["gamma"]["bias"]
+        beta = film["beta"]["kernel"].T @ cond + film["beta"]["bias"]
+        w_cond = w_dec * gamma[None, :]
+        b_cond = b_dec + w_dec @ beta
+    else:
+        v = float(not transcribe)
+        w_cond = w_dec[:, :-1]
+        b_cond = b_dec + v * w_dec[:, -1]
+    cb_exp = build_dense_blocks(w_cond, b_cond)
+    return LevelSpec([("conv", cb_lat, False), ("conv", cb_exp, True)],
+                     cb_lat.r_in)
+
+
 def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
                   interpret=False):
     """Features (B, F, T, C_in) -> coefficients (B, C_out, F, T) NCHW.
@@ -295,9 +358,33 @@ def fused_forward(params, net, features, transcribe, dtype=jnp.float32,
     path's default bf16 multiplies land at ~16 dB on an untrained decoder),
     so the latent matmuls run at full precision too; bf16 keeps the fast
     defaults throughout.
+
+    Under ``FUSE_INFERENCE_LEVELS == "full"`` (default) the entire forward
+    — encoder, latent bridge, decoder — is ONE Pallas kernel; only the
+    packed input and the packed coefficients touch HBM (cumulative
+    time-tap reach 50 of the 64-column halo at the flagship geometry).
     """
     precision = ("highest" if jnp.dtype(dtype) == jnp.float32 else "default")
     x = pack_nhwc(features).astype(dtype)
+    # "full" is gated to bf16 on hardware: at HIGHEST precision every f32
+    # dot lowers to a 3-pass bf16 sequence and Mosaic's compile of the
+    # 36-item chain blows past 40 minutes (measured, r5) — the f32 paths
+    # keep the whole-encoder/whole-decoder pair (+9% over per-level,
+    # minutes-scale compile). Interpret mode keeps "full" so the tests
+    # exercise the single-kernel chain and the conditioning fold exactly.
+    full_ok = jnp.dtype(dtype) == jnp.bfloat16 or interpret
+    if (not net.skip_connections and FUSE_INFERENCE_LEVELS == "full"
+            and full_ok):
+        especs, dspecs = _inference_specs(params, net)
+        bridge = _latent_bridge_spec(params, net, transcribe)
+        spec = fuse_level_specs(especs + [bridge] + dspecs)
+        y = fused_level_apply(x, spec, dtype=dtype, interpret=interpret)
+        y = y.astype(jnp.float32)
+        if net.variant == "mag":
+            y = jax.nn.relu(y)
+        elif net.variant == "magdb":
+            y = jax.nn.sigmoid(y)
+        return packed_to_nchw(y, net.feature_size, net.in_channels)
     if net.skip_connections:
         latents, embs = encode_packed(params, net, x, "pallas", dtype,
                                       precision, interpret,

@@ -103,13 +103,13 @@ import collections
 # consume static geometry (arrays arrive as separate pallas operands), and
 # custom_vjp nondiff arguments must not carry traced values.
 ConvGeom = collections.namedtuple(
-    "ConvGeom", "dts col_adv margin k r_in r_out n_out_blocks")
+    "ConvGeom", "dts col_adv margin k r_in r_out n_out_blocks per_block")
 LevelGeom = collections.namedtuple("LevelGeom", "items r_in r_out rb_out")
 
 
 def conv_geom(cb):
     return ConvGeom(cb.dts, cb.col_adv, cb.margin, cb.k, cb.r_in, cb.r_out,
-                    cb.n_out_blocks)
+                    cb.n_out_blocks, getattr(cb, "per_block", False))
 
 
 class LevelSpec:
@@ -347,23 +347,33 @@ def _shift_t(x, dt):
 
 def _conv_stage(slab, cb, blocks_ref, bias_ref, precision=None,
                 acc_dtype=jnp.float32):
-    """Banded conv on a zero-margined slab value -> (rb*128, W) f32 value."""
+    """Banded conv on a zero-margined slab value -> (rb*128, W) f32 value.
+
+    ``cb.per_block``: blocks are (1, nb*128, K) DENSE per-block slices
+    (the latent-boundary matmuls, packed_conv.build_dense_blocks) — every
+    block reads the same window (col_adv 0) with its own weights/bias.
+    """
     nb = cb.n_out_blocks
+    per_block = getattr(cb, "per_block", False)
     outs = []
-    bias = None if bias_ref is None else bias_ref[:]  # (128, 1)
+    bias = None if (bias_ref is None or per_block) else bias_ref[:]
     if precision is None:
         # f32 storage means the caller wants true fp32 math: force
         # full-precision MXU passes (the TPU default multiplies in bf16).
         precision = ("highest" if slab.dtype == jnp.float32 else "default")
     for j in range(nb):
-        start = j * cb.col_adv  # slab already starts margin rows above row 0
+        start = 0 if per_block else j * cb.col_adv
+        if per_block and bias_ref is not None:
+            bias = bias_ref[j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS, :]
         acc = bias
         for di, dt in enumerate(cb.dts):
             # Shift per block slice (K, W): smaller live temps than three
             # full shifted slabs (VMEM is the binding constraint).
             xsl = _shift_t(slab[start:start + cb.k, :], dt)
+            w = (blocks_ref[di, j * BLOCK_ROWS:(j + 1) * BLOCK_ROWS, :]
+                 if per_block else blocks_ref[di])
             term = jax.lax.dot_general(
-                blocks_ref[di], xsl, (((1,), (0,)), ((), ())),
+                w, xsl, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=acc_dtype)
             acc = term if acc is None else acc + term
         outs.append(acc)

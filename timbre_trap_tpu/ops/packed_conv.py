@@ -81,7 +81,7 @@ class ConvBlocks:
     """
 
     def __init__(self, blocks, dts, bias, col_adv, margin, f_in, f_out,
-                 c_in, c_out):
+                 c_in, c_out, per_block=False):
         self.blocks = blocks
         self.dts = tuple(int(d) for d in dts)
         self.bias = bias
@@ -90,6 +90,11 @@ class ConvBlocks:
         self.k = int(blocks.shape[-1])
         self.f_in, self.f_out = int(f_in), int(f_out)
         self.c_in, self.c_out = int(c_in), int(c_out)
+        # per_block=True: blocks are (n_dt, n_out_blocks*128, K) with a
+        # DIFFERENT weight slice per output block (dense, non-repeating
+        # maps — the latent-boundary matmuls); bias is the full (R_out-pad,)
+        # vector instead of a repeating 128-row pattern.
+        self.per_block = bool(per_block)
 
     @property
     def r_in(self):
@@ -267,6 +272,33 @@ def build_tconv_blocks(kernel, bias, f_in, stride=2, output_padding=0,
     return blocks
 
 
+def build_dense_blocks(w, bias):
+    """A DENSE row map y = W @ x + b as a one-tap per-block ConvBlocks.
+
+    ``w``: (R_out, R_in) — every output row reads every input row, so the
+    banded/repeating structure degenerates to per-block weight slices
+    (``per_block=True``). Used to fold the latent-boundary matmuls —
+    convlat (reference ``modules.py:440-446``) and the decoder convin
+    expansion (``modules.py:533-536``), with the decoder-switch
+    conditioning folded into ``bias`` — INTO the fused inference kernel
+    (models/fused.py ``fused_forward``), so the latent bottleneck never
+    touches HBM. ``w``/``bias`` may be traced values (they are computed
+    from params at trace time and ride along as kernel operands).
+
+    R_in is zero-padded up to a 16-row multiple (sublane alignment for
+    both f32 and bf16 operands); R_out up to whole 128-row blocks.
+    """
+    r_out, r_in = int(w.shape[0]), int(w.shape[1])
+    k = r_in + (-r_in % 16)
+    nb = math.ceil(r_out / BLOCK_ROWS)
+    blocks = jnp.pad(jnp.asarray(w, jnp.float32),
+                     ((0, nb * BLOCK_ROWS - r_out), (0, k - r_in)))[None]
+    bias_full = jnp.pad(jnp.asarray(bias, jnp.float32),
+                        (0, nb * BLOCK_ROWS - r_out))
+    return ConvBlocks(blocks, (0,), bias_full, 0, 0, r_in, r_out, 1, 1,
+                      per_block=True)
+
+
 def packed_conv_reference(x, cb: ConvBlocks):
     """Reference execution of a ConvBlocks conv on packed (B, R_in, T) input.
 
@@ -285,6 +317,10 @@ def packed_conv_reference(x, cb: ConvBlocks):
     """
     b, r_in, t = x.shape
     assert r_in == cb.r_in, (r_in, cb.r_in)
+    if cb.per_block:
+        y = jnp.einsum("rk,bkt->brt", cb.blocks[0][:, :r_in], x,
+                       preferred_element_type=jnp.float32)
+        return (y + cb.bias[None, :, None])[:, :cb.r_out]
     n_blocks = cb.n_out_blocks
     A = cb.col_adv
     nw = -(-cb.k // A)  # window chunks per block

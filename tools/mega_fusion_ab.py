@@ -64,7 +64,8 @@ def main():
 
     results = {}
     probes = {}
-    for name, flag in (("fused", True), ("per-level", False)):
+    for name, flag in (("full", "full"), ("stack", True),
+                       ("per-level", False)):
         fused.FUSE_INFERENCE_LEVELS = flag
         model = TimbreTrap(sample_rate=sr, n_octaves=9, bins_per_octave=60,
                            secs_per_block=3, latent_size=128,
@@ -78,11 +79,11 @@ def main():
         print(f"{name:10s} recon_f32_rtf = {60.0 / el32:8.1f}", flush=True)
         probes[name] = np.asarray(model.transcribe(short))
 
-    fused.FUSE_INFERENCE_LEVELS = True
-    d = np.max(np.abs(probes["fused"] - probes["per-level"]))
-    results["transcribe_max_abs_delta"] = float(d)
-    print(f"parity: max |fused - per-level| on transcribe = {d:.3e}",
-          flush=True)
+    fused.FUSE_INFERENCE_LEVELS = "full"
+    for a, b in (("full", "per-level"), ("stack", "per-level")):
+        d = float(np.max(np.abs(probes[a] - probes[b])))
+        results[f"transcribe_delta_{a}"] = d
+        print(f"parity: max |{a} - {b}| on transcribe = {d:.3e}", flush=True)
     print(json.dumps(results))
 
 

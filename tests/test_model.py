@@ -267,3 +267,47 @@ def test_transcribe_accepts_int16_audio():
     ref = np.asarray(m.transcribe(pcm.astype(np.float32) / 32768.0))
     got = np.asarray(m.transcribe(pcm))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_short_clip_piece_pad_matches_single_program():
+    """pad_short_to_piece: a host clip SHORTER than the streaming threshold
+    rides the one-piece program (zero-pad + trim) with frame-exact parity
+    vs its own-length program — the shape-stability contract that keeps
+    fused-TPU corpus evaluation at ONE compile for all clip lengths
+    (models/timbre_trap.py:transcribe)."""
+    import jax.numpy as jnp
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    m.pad_short_to_piece = True  # auto only triggers on the fused TPU path
+    rng = np.random.default_rng(2)
+    # 1.2 s = 3 blocks < 2 * piece_blocks: the pre-change route would have
+    # compiled a dedicated 3-block program.
+    audio = (0.3 * rng.standard_normal((1, 1, int(1.2 * 8000)))
+             ).astype(np.float32)
+    ref = np.asarray(m._transcribe_jit(m.params, jnp.asarray(audio)))
+    got = np.asarray(m.transcribe(audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_streaming_reconstruct_matches_single_program():
+    """Piece-wise reconstruct (per-block sliCQ synthesis + deferred global
+    infinity-norm) == the one-program path, sample-exact, for both a long
+    (streamed) and a short (pad_short_to_piece) host clip."""
+    import jax.numpy as jnp
+    from timbre_trap_tpu.models import TimbreTrap
+
+    m = TimbreTrap(sample_rate=8000, n_octaves=5, bins_per_octave=12,
+                   secs_per_block=0.5, latent_size=16, model_complexity=1)
+    m.piece_blocks = 3
+    m.pad_short_to_piece = True
+    rng = np.random.default_rng(3)
+    for secs in (7.3, 1.2):  # 15 blocks (5 pieces) and 3 blocks (1 piece)
+        audio = (0.3 * rng.standard_normal((1, 1, int(secs * 8000)))
+                 ).astype(np.float32)
+        ref = np.asarray(m._reconstruct_jit(m.params, jnp.asarray(audio)))
+        got = np.asarray(m.reconstruct(audio))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -89,6 +89,7 @@ class TimbreTrap:
         self._transcribe_jit = jax.jit(self._transcribe_fn)
         self._reconstruct_jit = jax.jit(self._reconstruct_fn)
         self._piece_jit = jax.jit(self._piece_fn)
+        self._piece_recon_jit = jax.jit(self._piece_recon_fn)
 
     @property
     def fused(self):
@@ -303,6 +304,17 @@ class TimbreTrap:
     # wall time ~ max(total upload, total compute) instead of their sum.
     piece_blocks = 16
 
+    # Route host clips SHORTER than the streaming threshold through the
+    # one-piece program too (zero-pad to a piece, trim the frames): every
+    # distinct clip length otherwise compiles its own program, and under
+    # the fused single-kernel inference path a new program costs minutes
+    # of Mosaic compile (docs/PERFORMANCE.md "whole-stack fusion") — fatal
+    # for corpus evaluation over varied-length tracks. The padded compute
+    # is nearly free at >1000x realtime on TPU; on the CPU/flax path it
+    # is NOT (16x a short clip's work), so None -> auto: piece-pad only
+    # when the fused TPU path is active.
+    pad_short_to_piece = None
+
     def _analysis_ctx(self):
         """FFT precision for transcription analysis (trace-time context).
 
@@ -331,13 +343,78 @@ class TimbreTrap:
             return self.to_activations(
                 self._chunked_fn(params, segment, True))
 
+    def _piece_recon_fn(self, params, segment):
+        """Chunk-scan + UNNORMALIZED synthesis over one audio piece.
+
+        sliCQ synthesis is strictly per-block (transform/nsgt.py:decode
+        reshapes to (nb, M) frames and runs an independent irfft per
+        block), so decoding pieces and concatenating equals decoding the
+        whole coefficient tensor; only the reference's global infinity-norm
+        normalization (cqtwrapper.py:209-211) must wait for the full
+        signal — reconstruct() applies it after concatenation.
+        """
+        coefficients = self._chunked_fn(params, segment, False)
+        cplx = CQT.to_complex(coefficients)[:, None]
+        return self.sliCQ.decode_raw(jax.lax.stop_gradient(cplx))
+
+    def _stream_pieces(self, audio_np, piece_jit, out_per_block):
+        """Upload-pipelined piece execution over a host array.
+
+        Pads/edges each ``piece_blocks*L + L`` window (zero halo at both
+        signal edges), overlaps each piece's host->device transfer with the
+        previous piece's compute, concatenates on device, and trims to
+        ``n_blocks * out_per_block`` output columns.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        L = self.sliCQ.block_length
+        hop = L // 2
+        P = self.piece_blocks
+        n_blocks = -(-audio_np.shape[-1] // L)
+        n_pieces = -(-n_blocks // P)
+        seg_len = P * L + L
+        lead = [(0, 0)] * (audio_np.ndim - 1)
+
+        def piece(i):
+            # Window [i*P*L - hop, (i+1)*P*L + hop) of the audio;
+            # interior pieces are pure views (no 53 MB np.pad copy).
+            a = i * P * L - hop
+            b = a + seg_len
+            lo, hi = max(a, 0), min(b, audio_np.shape[-1])
+            seg = audio_np[..., lo:hi]
+            if lo > a or hi < b:
+                seg = np.pad(seg, lead + [(lo - a, b - hi)])
+            return seg
+
+        # One upload worker keeps transfers streaming back-to-back while
+        # the main thread dispatches each piece's compute as soon as its
+        # data lands — wall time ~ max(upload, compute).
+        with ThreadPoolExecutor(1) as pool:
+            futs = [pool.submit(jax.device_put, piece(i))
+                    for i in range(n_pieces)]
+            outs = [piece_jit(self.params, f.result()) for f in futs]
+        out = jnp.concatenate(outs, axis=-1)
+        return out[..., :n_blocks * out_per_block]
+
+    def _piece_route(self, audio_np):
+        """Whether a host input should ride the fixed-shape piece programs."""
+        L = self.sliCQ.block_length
+        n_blocks = -(-audio_np.shape[-1] // L)
+        if n_blocks >= 2 * self.piece_blocks:
+            return True
+        if self.pad_short_to_piece is not None:
+            return self.pad_short_to_piece
+        return self._use_fused()
+
     def transcribe(self, audio):
         """Audio (B,1,N) -> multi-pitch activations (B,F,T).
 
         Host (numpy) inputs longer than a few pieces stream: uploads are
         pipelined against compute piece-by-piece (the tunnel/host link is
-        the end-to-end bottleneck once the conv stack is fused). Device
-        inputs and short clips take the single fused program.
+        the end-to-end bottleneck once the conv stack is fused). Short host
+        clips zero-pad into the SAME one-piece program when the fused TPU
+        path is active (pad_short_to_piece) — one compiled shape serves
+        every host clip length. Device inputs take the full-length program.
         """
         if not isinstance(audio, jax.Array):
             audio_np = np.asarray(audio)
@@ -347,43 +424,28 @@ class TimbreTrap:
             # the bytes is ~2x the upload-bound throughput.
             if audio_np.dtype not in (np.int16, np.float16):
                 audio_np = audio_np.astype(np.float32, copy=False)
-            L = self.sliCQ.block_length
-            hop = L // 2
-            M = self.sliCQ.max_window_length
-            n_blocks = -(-audio_np.shape[-1] // L)
-            if n_blocks >= 2 * self.piece_blocks:
-                from concurrent.futures import ThreadPoolExecutor
-
-                P = self.piece_blocks
-                n_pieces = -(-n_blocks // P)
-                seg_len = P * L + L
-                lead = [(0, 0)] * (audio_np.ndim - 1)
-
-                def piece(i):
-                    # Window [i*P*L - hop, (i+1)*P*L + hop) of the audio;
-                    # interior pieces are pure views (no 53 MB np.pad copy).
-                    a = i * P * L - hop
-                    b = a + seg_len
-                    lo, hi = max(a, 0), min(b, audio_np.shape[-1])
-                    seg = audio_np[..., lo:hi]
-                    if lo > a or hi < b:
-                        seg = np.pad(seg, lead + [(lo - a, b - hi)])
-                    return seg
-
-                # One upload worker keeps transfers streaming back-to-back
-                # while the main thread dispatches each piece's compute as
-                # soon as its data lands — wall time ~ max(upload, compute).
-                with ThreadPoolExecutor(1) as pool:
-                    futs = [pool.submit(jax.device_put, piece(i))
-                            for i in range(n_pieces)]
-                    acts = [self._piece_jit(self.params, f.result())
-                            for f in futs]
-                out = jnp.concatenate(acts, axis=-1)
-                return out[..., :n_blocks * M]
+            if self._piece_route(audio_np):
+                return self._stream_pieces(audio_np, self._piece_jit,
+                                           self.sliCQ.max_window_length)
         return self._transcribe_jit(self.params, jnp.asarray(audio))
 
     def reconstruct(self, audio_in):
-        """Audio (B,1,N) -> resynthesized audio (B,1,N')."""
+        """Audio (B,1,N) -> resynthesized audio (B,1,N').
+
+        Host inputs take the same fixed-shape piece streaming as
+        transcribe (sliCQ synthesis is per-block, so piece-wise decode is
+        exact); the reference's global infinity-norm normalization is
+        applied after concatenation so it matches the one-program path.
+        """
+        if not isinstance(audio_in, jax.Array):
+            audio_np = np.asarray(audio_in)
+            if audio_np.dtype not in (np.int16, np.float16):
+                audio_np = audio_np.astype(np.float32, copy=False)
+            if self._piece_route(audio_np):
+                out = self._stream_pieces(audio_np, self._piece_recon_jit,
+                                          self.sliCQ.block_length)
+                peak = jnp.max(jnp.abs(out))
+                return jnp.where(peak > 0, out / peak, out)
         return self._reconstruct_jit(self.params, jnp.asarray(audio_in))
 
     # ------------------------------------------------------------------ #

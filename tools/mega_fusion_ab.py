@@ -58,8 +58,13 @@ def main():
     audio_dev = jax.device_put(jnp.asarray(audio))
     float(jnp.sum(audio_dev))
 
-    # short clip for parity + the f32 reconstruct protocol
-    short = jax.device_put(jnp.asarray(audio[..., : int(60 * sr)]))
+    # short clip for parity + the f32 reconstruct protocol. The parity
+    # probe passes the HOST array: host clips ride the one-piece program
+    # (models/timbre_trap.py pad_short_to_piece), so the expensive
+    # full-kernel piece program is shared with bench.py's headline instead
+    # of compiling a dedicated 60-s program per mode.
+    short_np = audio[..., : int(60 * sr)]
+    short = jax.device_put(jnp.asarray(short_np))
     float(jnp.sum(short))
 
     results = {}
@@ -77,7 +82,7 @@ def main():
         el32 = _time(lambda: float(jnp.sum(model.reconstruct(short))))
         results[f"recon_f32_rtf_{name}"] = round(60.0 / el32, 1)
         print(f"{name:10s} recon_f32_rtf = {60.0 / el32:8.1f}", flush=True)
-        probes[name] = np.asarray(model.transcribe(short))
+        probes[name] = np.asarray(model.transcribe(short_np))
 
     fused.FUSE_INFERENCE_LEVELS = "full"
     for a, b in (("full", "per-level"), ("stack", "per-level")):

@@ -115,17 +115,18 @@ def main():
     # The sections below each compile a DISTINCT program (input avals
     # differ); on a warm persistent cache each runs in seconds, but a cold
     # cache pays the fused-kernel Mosaic compile per program (minutes-scale,
-    # docs/PERFORMANCE.md "whole-stack fusion") — so every non-headline
-    # section is budget-gated (its key goes null) to guarantee the one JSON
-    # line prints within the driver's patience.
+    # docs/PERFORMANCE.md "whole-stack fusion") — so the diagnostic
+    # sections are budget-gated (their keys go null) to guarantee the one
+    # JSON line prints within the driver's patience. device_rtf is NOT
+    # gated: it is the judged compute metric (BASELINE.md regression rule)
+    # and must appear in every round record.
     device_rtf = int16_rtf = f16_rtf = None
 
     # Device-resident input: isolates compute from the host->device upload.
-    if budget_allows("device_rtf", reserve_s=300):
-        audio_dev = jax.device_put(jnp.asarray(audio))
-        float(jnp.sum(audio_dev))
-        dev_elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio_dev))))
-        device_rtf = round(seconds / dev_elapsed, 2)
+    audio_dev = jax.device_put(jnp.asarray(audio))
+    float(jnp.sum(audio_dev))
+    dev_elapsed = _time(lambda: float(jnp.sum(model.transcribe(audio_dev))))
+    device_rtf = round(seconds / dev_elapsed, 2)
 
     # PCM16 ingestion (the native format of WAV/MP3 sources): halves the
     # host->device bytes on tunneled runtimes; dequantized on device

@@ -267,6 +267,14 @@ def test_transcribe_accepts_int16_audio():
     ref = np.asarray(m.transcribe(pcm.astype(np.float32) / 32768.0))
     got = np.asarray(m.transcribe(pcm))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+    # Piece route: int16/f16 segments dequantize in a tiny per-dtype
+    # program so every ingestion dtype shares the ONE piece program.
+    m.pad_short_to_piece = True
+    got_piece = np.asarray(m.transcribe(pcm))
+    got_f16 = np.asarray(m.transcribe(
+        (pcm.astype(np.float32) / 32768.0).astype(np.float16)))
+    np.testing.assert_allclose(got_piece, ref, atol=2e-5)
+    np.testing.assert_allclose(got_f16, ref, atol=5e-3)
 
 
 def test_short_clip_piece_pad_matches_single_program():

@@ -90,6 +90,7 @@ class TimbreTrap:
         self._reconstruct_jit = jax.jit(self._reconstruct_fn)
         self._piece_jit = jax.jit(self._piece_fn)
         self._piece_recon_jit = jax.jit(self._piece_recon_fn)
+        self._seg_f32_jit = jax.jit(self._seg_f32_fn)
 
     @property
     def fused(self):
@@ -343,6 +344,18 @@ class TimbreTrap:
             return self.to_activations(
                 self._chunked_fn(params, segment, True))
 
+    def _seg_f32_fn(self, segment):
+        """Audio segment of any ingestion dtype -> f32 (device-side).
+
+        Same semantics as features_from_audio's dtype handling (PCM16
+        dequantizes by 1/32768; f16 casts): running it as its own tiny
+        program keeps the expensive piece program dtype-invariant.
+        """
+        segment = jnp.asarray(segment)
+        if segment.dtype == jnp.int16:
+            return segment.astype(jnp.float32) * (1.0 / 32768.0)
+        return segment.astype(jnp.float32)
+
     def _piece_recon_fn(self, params, segment):
         """Chunk-scan + UNNORMALIZED synthesis over one audio piece.
 
@@ -388,11 +401,16 @@ class TimbreTrap:
 
         # One upload worker keeps transfers streaming back-to-back while
         # the main thread dispatches each piece's compute as soon as its
-        # data lands — wall time ~ max(upload, compute).
+        # data lands — wall time ~ max(upload, compute). int16/f16
+        # segments upload at half the bytes and are converted to f32 by a
+        # trivial per-dtype program BEFORE the piece program, so every
+        # input dtype shares the ONE compiled piece program (a fused-
+        # kernel program costs minutes of Mosaic compile per variant).
         with ThreadPoolExecutor(1) as pool:
             futs = [pool.submit(jax.device_put, piece(i))
                     for i in range(n_pieces)]
-            outs = [piece_jit(self.params, f.result()) for f in futs]
+            outs = [piece_jit(self.params, self._seg_f32_jit(f.result()))
+                    for f in futs]
         out = jnp.concatenate(outs, axis=-1)
         return out[..., :n_blocks * out_per_block]
 
